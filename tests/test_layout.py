@@ -1,0 +1,87 @@
+"""Layout/tokenize kernel tests: contract invariants + fast-path parity."""
+
+import pandas as pd
+
+from universal_pdf_extractor_spark.kernels.layout import (
+    TOP_REGION_LINES,
+    cluster_tokens_to_lines,
+    tokenize_turn,
+    turn_view,
+    turn_view_batch,
+)
+
+SAMPLE = (
+    "Barclays Bank\n"
+    "Statement Period: 01/01/2024 to 31/01/2024\n"
+    "\n"
+    "Date        Description         Paid Out   Paid In    Balance\n"
+    "01/01/2024  OPENING BALANCE                           1000.00\n"
+    "02/01/2024  TESCO STORES        50.00                 950.00\n"
+    "Page 1 of 2\n"
+)
+
+
+def test_contract_invariants():
+    tokens, lines = tokenize_turn(SAMPLE)
+    # tokens ordered by (y0, x0); lines ordered by y0 (contracts.py:90-92)
+    keys = [(t["y0"], t["x0"]) for t in tokens]
+    assert keys == sorted(keys)
+    ys = [ln["y0"] for ln in lines]
+    assert ys == sorted(ys)
+    # line.text == ' '.join(token texts)
+    for ln in lines:
+        assert ln["text"] == " ".join(t["text"] for t in ln["tokens"])
+    # bboxes normalized
+    for t in tokens:
+        assert 0.0 <= t["x0"] <= t["x1"] <= 1.0
+        assert 0.0 <= t["y0"] <= t["y1"] <= 1.0
+
+
+def test_blank_lines_skipped():
+    _, lines = tokenize_turn(SAMPLE)
+    assert len(lines) == 6  # blank line produces no line
+    assert [ln["line_index"] for ln in lines] == list(range(6))
+
+
+def test_cluster_identity_on_synthetic_coords():
+    tokens, lines = tokenize_turn(SAMPLE)
+    clustered = cluster_tokens_to_lines(tokens)
+    assert [ln["text"] for ln in clustered] == [ln["text"] for ln in lines]
+
+
+def test_spans_point_into_original_text():
+    view = turn_view(SAMPLE)
+    for span, kept_line in zip(view["spans"], view["clean_text"].split("\n")):
+        segment = SAMPLE[span["start"]:span["end"]]
+        assert " ".join(segment.split()) == kept_line
+
+
+def test_boilerplate_stripped():
+    view = turn_view(SAMPLE)
+    assert "Page 1 of 2" not in view["clean_text"]
+    assert "Statement Period" not in view["clean_text"]
+    assert "TESCO STORES" in view["clean_text"]
+
+
+def test_top_region():
+    long_text = "\n".join(f"line {i} here" for i in range(30))
+    view = turn_view(long_text)
+    assert view["top_text"].count("here") == TOP_REGION_LINES
+
+
+def test_batch_fast_path_matches_ir_route():
+    texts = [
+        SAMPLE,
+        "",
+        None,
+        "single line only",
+        "  leading  spaces\n\ttab\tsep\n" + "x" * 150,  # wide line
+        "\n\n\n",
+        "\n".join(f"l{i} word" for i in range(40)),
+    ]
+    batch = turn_view_batch(pd.Series(texts))
+    for i, text in enumerate(texts):
+        view = turn_view(text)
+        for key in ("raw_text", "top_text", "clean_text", "n_lines", "n_tokens"):
+            assert batch.loc[i, key] == view[key], (i, key)
+        assert batch.loc[i, "spans"] == view["spans"], i

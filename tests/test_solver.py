@@ -1,0 +1,132 @@
+"""Balance-solver kernel tests (mirrors reference
+tests/test_pipeline/test_balance_solver.py:18-107)."""
+
+from decimal import Decimal
+
+from universal_pdf_extractor_spark.kernels.solver import (
+    find_best_tolerance,
+    solve_case1_separate_columns,
+    solve_case2_signed_amounts,
+    solve_case3_balance_inference,
+    solve_case4_no_balance,
+    solve_directions,
+    tolerance_to_confidence,
+)
+
+
+class TestCase1:
+    def test_debit_populated(self):
+        results = solve_case1_separate_columns(
+            [{"debit_amount": Decimal("50.00"), "credit_amount": None}])
+        assert results[0]["direction"] == "DEBIT"
+        assert results[0]["confidence"] >= 0.90
+
+    def test_credit_populated(self):
+        results = solve_case1_separate_columns(
+            [{"debit_amount": None, "credit_amount": Decimal("200.00")}])
+        assert results[0]["direction"] == "CREDIT"
+
+    def test_both_populated(self):
+        results = solve_case1_separate_columns(
+            [{"debit_amount": Decimal("50.00"), "credit_amount": Decimal("50.00")}])
+        assert results[0]["direction"] == "UNKNOWN"
+        assert results[0]["correction_applied"] == "BOTH_COLUMNS_POPULATED"
+
+    def test_neither(self):
+        results = solve_case1_separate_columns(
+            [{"debit_amount": None, "credit_amount": None}])
+        assert results[0]["direction"] == "UNKNOWN"
+        assert results[0]["confidence"] == 0.2
+
+
+class TestCase2:
+    def test_signs(self):
+        rows = [{"amount_raw": "(100.00)"}, {"amount_raw": "50.00 CR"},
+                {"amount_raw": "25.00-"}, {"amount_raw": "-10.00"},
+                {"amount_raw": "75.00"}]
+        results = solve_case2_signed_amounts(rows)
+        assert [r["direction"] for r in results] == [
+            "DEBIT", "CREDIT", "DEBIT", "DEBIT", "CREDIT"]
+        assert results[0]["confidence"] == 0.85
+        assert results[2]["confidence"] == 0.75
+
+
+class TestCase3:
+    def test_chain(self, sample_balance_chain):
+        rows = [{"amount": Decimal(r["amount"]),
+                 "running_balance": Decimal(r["running_balance"])}
+                for r in sample_balance_chain["rows"]]
+        results = solve_case3_balance_inference(
+            rows, Decimal(sample_balance_chain["opening_balance"]))
+        for r, expected in zip(results, sample_balance_chain["rows"]):
+            assert r["direction"] == expected["expected_direction"]
+            assert r["balance_confirmed"]
+
+    def test_penny_tolerance(self):
+        results = solve_case3_balance_inference(
+            [{"amount": Decimal("50.00"), "running_balance": Decimal("950.01")}],
+            Decimal("1000.00"))
+        assert results[0]["direction"] == "DEBIT"
+        assert results[0]["tolerance_used"] == Decimal("0.01")
+
+    def test_no_opening(self):
+        results = solve_case3_balance_inference(
+            [{"amount": Decimal("50.00"), "running_balance": Decimal("950.00")}], None)
+        assert results[0]["direction"] == "UNKNOWN"
+
+    def test_ocr_correction(self):
+        # reported balance "95O.00" is not a Decimal, so the caller parses
+        # it to None; instead exercise correction via a mis-OCR'd digit
+        # string that still parsed: S->5 swap happens pre-parse upstream.
+        # Direct test of the helper:
+        from universal_pdf_extractor_spark.kernels.solver import attempt_balance_correction
+        d, tol, conf = attempt_balance_correction(
+            Decimal("1000.00"), Decimal("50.00"), Decimal("960.00"))
+        assert d == "UNKNOWN"  # no substitutable chars in a clean decimal
+
+
+class TestCase4:
+    def test_hints(self):
+        rows = [{"description_raw": "PAYMENT DR"},
+                {"description_raw": "SALARY CREDIT"},
+                {"description_raw": "COFFEE"}]
+        results = solve_case4_no_balance(rows, {})
+        assert [r["direction"] for r in results] == ["DEBIT", "CREDIT", "UNKNOWN"]
+        assert results[0]["direction_source"] == "HEADER"
+
+
+class TestTolerance:
+    def test_exact(self):
+        assert find_best_tolerance(Decimal("100.00"), Decimal("100.00")) == Decimal("0.00")
+
+    def test_penny(self):
+        assert find_best_tolerance(Decimal("100.00"), Decimal("100.01")) == Decimal("0.01")
+
+    def test_none(self):
+        assert find_best_tolerance(Decimal("100.00"), Decimal("200.00")) is None
+
+    def test_confidence_map(self):
+        assert tolerance_to_confidence(Decimal("0.00")) == 0.98
+        assert tolerance_to_confidence(Decimal("0.01")) == 0.95
+        assert tolerance_to_confidence(Decimal("1.00")) == 0.60
+        assert tolerance_to_confidence(Decimal("0.42")) == 0.50
+
+
+class TestRouter:
+    def test_case1_routing(self):
+        rows = [{"debit_amount": Decimal("5"), "credit_amount": None,
+                 "amount_raw": "", "description_raw": ""}]
+        results = solve_directions(rows, None, None, {0: "DEBIT", 1: "CREDIT"})
+        assert results[0]["direction"] == "DEBIT"
+
+    def test_case3_routing_with_validation(self, sample_balance_chain):
+        rows = [{"amount": Decimal(r["amount"]),
+                 "running_balance": Decimal(r["running_balance"]),
+                 "amount_raw": r["amount"], "description_raw": "x"}
+                for r in sample_balance_chain["rows"]]
+        roles = {0: "DATE", 1: "DESCRIPTION", 2: "SINGLE_AMOUNT", 3: "BALANCE"}
+        results = solve_directions(
+            rows, Decimal(sample_balance_chain["opening_balance"]), None, roles)
+        assert [r["direction"] for r in results] == ["DEBIT", "CREDIT", "DEBIT"]
+        assert all(r["balance_confirmed"] for r in results)
+        assert all(r["confidence"] == 0.98 for r in results)

@@ -1,0 +1,139 @@
+"""Column detection, row reconstruction, semantic mapping, and the
+full per-segment analysis chain on a synthetic statement page."""
+
+from decimal import Decimal
+
+import numpy as np
+
+from universal_pdf_extractor_spark.kernels.columns import (
+    assign_line_to_cells,
+    assign_token_to_column,
+    detect_columns,
+)
+from universal_pdf_extractor_spark.kernels.layout import tokenize_turn
+from universal_pdf_extractor_spark.kernels.peaks import (
+    find_peaks_simple,
+    gaussian_smooth_1d,
+    local_maxima_plateau_mid,
+)
+from universal_pdf_extractor_spark.kernels.rows import (
+    detect_header_line,
+    extract_header_texts,
+    reconstruct_rows,
+)
+from universal_pdf_extractor_spark.kernels.segment_extract import analyse_segment
+from universal_pdf_extractor_spark.kernels.semantic import assign_column_roles
+
+# Fixed-width synthetic statement: 4 whitespace-gap columns, enough
+# rows that column peaks clear the absolute height floor of 2.0
+# (table_extractor.py:142 — max(len(lines)*occupancy, 2.0)).
+_ROWS = [
+    ("02/01/2024", "TESCO STORES 3141", "50.00", "950.00"),
+    ("03/01/2024", "SALARY ACME LTD", "200.00", "1150.00"),
+    ("04/01/2024", "COFFEE SHOP", "75.25", "1074.75"),
+    ("05/01/2024", "REFUND AMAZON", "25.00", "1099.75"),
+    ("06/01/2024", "DIRECT DEBIT GYM", "30.00", "1069.75"),
+    ("07/01/2024", "CARD PAYMENT 9921", "10.50", "1059.25"),
+    ("08/01/2024", "GROCERY MART", "12.00", "1047.25"),
+    ("09/01/2024", "BOOK SHOP", "8.99", "1038.26"),
+    ("10/01/2024", "TRANSFER IN", "100.00", "1138.26"),
+    ("11/01/2024", "PHONE BILL", "35.00", "1103.26"),
+    ("12/01/2024", "STREAMING SVC", "9.99", "1093.27"),
+    ("13/01/2024", "PETROL STATION", "40.00", "1053.27"),
+]
+PAGE = "\n".join(
+    ["Date          Description                               Amount        Balance",
+     "01/01/2024    OPENING BALANCE B/F                                     1000.00"]
+    + [f"{d}    {desc:<38}{amt:>10}{bal:>15}" for d, desc, amt, bal in _ROWS]
+)
+
+
+def _lines():
+    _, lines = tokenize_turn(PAGE)
+    return lines
+
+
+def test_peak_finder_basics():
+    x = np.zeros(50)
+    x[10] = 10.0
+    x[30] = 8.0
+    x[32] = 7.0  # within distance 4 of 30 -> pruned
+    peaks = find_peaks_simple(x, height=1.0, distance=4)
+    assert list(peaks) == [10, 30]
+
+
+def test_plateau_midpoint():
+    x = np.array([0, 1, 3, 3, 3, 1, 0], dtype=float)
+    assert list(local_maxima_plateau_mid(x)) == [3]
+
+
+def test_gaussian_smooth_preserves_mass():
+    x = np.random.RandomState(0).poisson(3, 120).astype(float)
+    sm = gaussian_smooth_1d(x, sigma=1.5)
+    assert sm.shape == x.shape
+    assert abs(sm.sum() - x.sum()) / x.sum() < 0.05  # reflect-pad edge loss only
+
+
+def test_detect_columns_four_bands():
+    columns = detect_columns(_lines())
+    assert len(columns) >= 3
+    assert columns[0]["x_start"] == 0.0
+    # bands are ordered and non-overlapping
+    for a, b in zip(columns, columns[1:]):
+        assert a["x_end"] <= b["x_end"]
+        assert a["x_start"] < b["x_start"]
+
+
+def test_token_assignment_roundtrip():
+    lines = _lines()
+    columns = detect_columns(lines)
+    cells = assign_line_to_cells(lines[2], columns)
+    texts = {c["column_index"]: c["text"] for c in cells}
+    assert any("02/01/2024" in t for t in texts.values())
+    assert any("TESCO" in t for t in texts.values())
+
+
+def test_header_detection_and_roles():
+    lines = _lines()
+    columns = detect_columns(lines)
+    header_idx = detect_header_line(lines)
+    assert header_idx == 0
+    header_texts = extract_header_texts(lines[header_idx], columns)
+    body = lines[1:]
+    prelim = reconstruct_rows(body, columns, 0,
+                              [c["column_index"] for c in columns if c["column_index"] > 0])
+    roles = assign_column_roles(columns, header_texts, prelim)
+    vals = set(roles.values())
+    assert "DATE" in vals
+    assert "SINGLE_AMOUNT" in vals
+    assert "BALANCE" in vals
+
+
+def test_reconstruct_rows_balance_marker():
+    lines = _lines()
+    columns = detect_columns(lines)
+    rows = reconstruct_rows(lines[1:], columns, 0,
+                            [c["column_index"] for c in columns if c["column_index"] > 0])
+    markers = [r for r in rows if r["is_balance_marker"]]
+    assert len(markers) == 1
+    assert "B/F" in markers[0]["raw_text"]
+    assert len([r for r in rows if not r["is_balance_marker"]]) == len(_ROWS)
+
+
+def test_analyse_segment_end_to_end_case3():
+    """Integrated semantics: unsigned SINGLE_AMOUNT rows keep their
+    sign-based direction (positive -> CREDIT 0.90,
+    orchestrator.py:761-780); the solver only fills UNKNOWN rows and
+    contributes balance_confirmed (orchestrator.py:617-624)."""
+    lines = _lines()
+    result = analyse_segment(lines)
+    records = result["records"]
+    assert result["opening_balance"] == Decimal("1000.00")
+    assert len(records) == len(_ROWS)
+    assert all(r["direction"] == "CREDIT" for r in records)
+    assert all(r["direction_source"] == "sign_positive" for r in records)
+    assert all(r["confidence_direction"] == 0.9 for r in records)
+    assert all(r["balance_confirmed"] for r in records)
+    assert records[0]["amount"] == Decimal("50.00")
+    assert records[0]["posted_date"].isoformat() == "2024-01-02"
+    assert records[0]["running_balance"] == Decimal("950.00")

@@ -1,0 +1,199 @@
+"""Row reconstruction and per-row field extraction.
+
+Parity with the reference's stateful row merge
+(app/pipeline/table_extractor.py:243-354) and field projection
+(app/pipeline/orchestrator.py:692-789):
+
+Row rules, applied over a segment's lines in reading order:
+  1. balance-marker line -> standalone row (flushes current)
+  2. date token in the date column -> opens a new row
+  3. amount-without-date -> merged into the current row
+  4. neither -> merged iff vertically adjacent
+     (gap <= 1.8 x previous line height)
+  5. orphan lines (no current row) are skipped
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .amounts import is_amount_like, parse_amount
+from .columns import assign_line_to_cells
+from .dates import DEFAULT_TODAY, is_date_like, parse_date
+from .patterns import HEADER_KEYWORDS, is_balance_marker
+
+HEADER_SCAN_LINES = 10
+CONTINUATION_HEIGHT_RATIO = 1.8
+CONTINUATION_FLAT_GAP = 0.02
+
+
+def _is_continuation(prev_line: dict, curr_line: dict) -> bool:
+    gap = curr_line["y0"] - prev_line["y1"]
+    typical_height = prev_line["y1"] - prev_line["y0"]
+    if typical_height <= 0:
+        return gap < CONTINUATION_FLAT_GAP
+    return gap <= typical_height * CONTINUATION_HEIGHT_RATIO
+
+
+def reconstruct_rows(lines: list[dict],
+                     columns: list[dict],
+                     date_column_index: int = 0,
+                     amount_column_indices: Optional[list[int]] = None) -> list[dict]:
+    """Merge lines into transaction rows (sequential per segment).
+
+    Row: {line_indices, cells, is_balance_marker, raw_text}.
+    """
+    if not lines or not columns:
+        return []
+
+    if amount_column_indices is None:
+        amount_column_indices = [c["column_index"] for c in columns if c["column_index"] > 0]
+    amount_cols = set(amount_column_indices)
+
+    rows: list[dict] = []
+    current: Optional[dict] = None
+
+    for i, line in enumerate(lines):
+        cells = assign_line_to_cells(line, columns)
+
+        if is_balance_marker(line["text"]):
+            if current:
+                rows.append(current)
+                current = None
+            rows.append({"line_indices": [i], "cells": cells,
+                         "is_balance_marker": True, "raw_text": line["text"]})
+            continue
+
+        has_date = any(c["column_index"] == date_column_index and is_date_like(c["text"])
+                       for c in cells)
+        has_amount = any(c["column_index"] in amount_cols and is_amount_like(c["text"])
+                         for c in cells)
+
+        if has_date:
+            if current:
+                rows.append(current)
+            current = {"line_indices": [i], "cells": cells,
+                       "is_balance_marker": False, "raw_text": line["text"]}
+        elif has_amount and current:
+            current["line_indices"].append(i)
+            current["cells"].extend(cells)
+            current["raw_text"] += " " + line["text"]
+        elif current:
+            prev_line = lines[current["line_indices"][-1]]
+            if _is_continuation(prev_line, line):
+                current["line_indices"].append(i)
+                current["cells"].extend(cells)
+                current["raw_text"] += " " + line["text"]
+            else:
+                rows.append(current)
+                current = None
+        # orphan line: skipped
+
+    if current:
+        rows.append(current)
+    return rows
+
+
+def detect_header_line(lines: list[dict], max_lines: int = HEADER_SCAN_LINES) -> Optional[int]:
+    """First of the top lines matching >=2 header keywords."""
+    for i, line in enumerate(lines[:max_lines]):
+        text_lower = line["text"].lower()
+        if sum(1 for kw in HEADER_KEYWORDS if kw in text_lower) >= 2:
+            return i
+    return None
+
+
+def extract_header_texts(line: dict, columns: list[dict]) -> list[str]:
+    cells = assign_line_to_cells(line, columns)
+    header = [""] * len(columns)
+    for cell in cells:
+        if cell["column_index"] < len(header):
+            header[cell["column_index"]] = cell["text"].strip()
+    return header
+
+
+def extract_fields_from_row(row: dict, roles: dict[int, str], today=DEFAULT_TODAY) -> dict:
+    """Project a reconstructed row into typed fields by column role.
+
+    Cells are deduplicated per column (first occurrence wins); DEBIT /
+    CREDIT columns force direction at 0.95, SINGLE_AMOUNT infers it
+    from sign (negative -> DEBIT 0.95, positive -> CREDIT 0.90, zero
+    -> UNKNOWN 0.5), BALANCE parses the running balance.
+    """
+    result = {
+        "description": "",
+        "raw_date": "", "raw_debit": "", "raw_credit": "",
+        "raw_amount": "", "raw_balance": "",
+        "parsed_date": None, "parsed_amount": None, "parsed_balance": None,
+        "direction": "UNKNOWN", "direction_source": "",
+        "amount_confidence": 0.8, "date_confidence": 0.8,
+        "direction_confidence": 0.5,
+    }
+
+    seen_cols: set[int] = set()
+    unique_cells = []
+    for cell in row["cells"]:
+        if cell["column_index"] not in seen_cols:
+            seen_cols.add(cell["column_index"])
+            unique_cells.append(cell)
+
+    for cell in unique_cells:
+        role = roles.get(cell["column_index"], "UNKNOWN")
+        text = cell["text"].strip()
+
+        if role == "DATE":
+            result["raw_date"] = text
+            dp = parse_date(text, today=today)
+            if dp.parsed_date:
+                result["parsed_date"] = dp.parsed_date
+                result["date_confidence"] = dp.confidence
+
+        elif role == "DESCRIPTION":
+            result["description"] = (result["description"] + " " + text).strip()
+
+        elif role == "DEBIT" and text:
+            result["raw_debit"] = text
+            ap = parse_amount(text)
+            if ap.amount is not None:
+                result["parsed_amount"] = abs(ap.amount)
+                result["direction"] = "DEBIT"
+                result["direction_source"] = "column_debit"
+                result["direction_confidence"] = 0.95
+                result["amount_confidence"] = ap.confidence
+
+        elif role == "CREDIT" and text:
+            result["raw_credit"] = text
+            ap = parse_amount(text)
+            if ap.amount is not None:
+                result["parsed_amount"] = abs(ap.amount)
+                result["direction"] = "CREDIT"
+                result["direction_source"] = "column_credit"
+                result["direction_confidence"] = 0.95
+                result["amount_confidence"] = ap.confidence
+
+        elif role == "SINGLE_AMOUNT" and text:
+            result["raw_amount"] = text
+            ap = parse_amount(text)
+            if ap.amount is not None:
+                result["parsed_amount"] = abs(ap.amount)
+                if ap.amount < 0:
+                    result["direction"] = "DEBIT"
+                    result["direction_source"] = "sign_negative"
+                    result["direction_confidence"] = 0.95
+                elif ap.amount > 0:
+                    result["direction"] = "CREDIT"
+                    result["direction_source"] = "sign_positive"
+                    result["direction_confidence"] = 0.90
+                else:
+                    result["direction"] = "UNKNOWN"
+                    result["direction_source"] = "single_amount_zero"
+                    result["direction_confidence"] = 0.50
+                result["amount_confidence"] = ap.confidence
+
+        elif role == "BALANCE" and text:
+            result["raw_balance"] = text
+            bp = parse_amount(text)
+            if bp.amount is not None:
+                result["parsed_balance"] = bp.amount
+
+    return result
