@@ -1,0 +1,138 @@
+"""North-rule gate: distributed pipeline == single-process oracle.
+
+Generates the deterministic synthetic transcripts corpus, runs the
+full Spark pipeline, and compares every output surface against
+kernels/oracle.py per (conv_id, turn_idx) — text, spans, segment ids,
+records (dates, Decimal amounts, directions, confirmations,
+confidences), classification, provider, customer info and scores.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from universal_pdf_extractor_spark.io.fixtures import generate_transcripts
+from universal_pdf_extractor_spark.kernels.oracle import process_conversation
+from universal_pdf_extractor_spark.schemas import TRANSCRIPTS_SCHEMA
+from universal_pdf_extractor_spark.stages.pipeline import run_pipeline
+
+N_CONVS = 60  # covers all 4 layout variants, all kinds, multi-segment convs
+
+
+@pytest.fixture(scope="module")
+def outputs(spark):
+    pdf = generate_transcripts(N_CONVS)
+    sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    out = run_pipeline(sdf)
+    return {name: df.toPandas() for name, df in out.items()}
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    pdf = generate_transcripts(N_CONVS)
+    result = {}
+    for conv_id, grp in pdf.groupby("conv_id"):
+        grp = grp.sort_values("turn_idx")
+        payloads = [
+            (int(t), (x if isinstance(x, str) and x else
+                      (tl if isinstance(tl, str) and tl else "")))
+            for t, x, tl in zip(grp["turn_idx"], grp["text"], grp["tool"])
+        ]
+        result[conv_id] = process_conversation(payloads)
+    return result
+
+
+def test_turns_equality(outputs, oracle):
+    turns = outputs["turns"].sort_values(["conv_id", "turn_idx"])
+    n_checked = 0
+    for conv_id, grp in turns.groupby("conv_id"):
+        exp = {t["turn_idx"]: t for t in oracle[conv_id]["turns"]}
+        for row in grp.itertuples():
+            e = exp[row.turn_idx]
+            assert row.clean_text == e["clean_text"], (conv_id, row.turn_idx)
+            assert row.raw_text == e["raw_text"], (conv_id, row.turn_idx)
+            assert row.top_text == e["top_text"], (conv_id, row.turn_idx)
+            got_spans = [(s["field"], s["start"], s["end"]) for s in row.spans]
+            exp_spans = [(s["field"], s["start"], s["end"]) for s in e["spans"]]
+            assert got_spans == exp_spans, (conv_id, row.turn_idx)
+            assert row.segment_index == e["segment_index"], (conv_id, row.turn_idx)
+            assert row.n_lines == e["n_lines"] and row.n_tokens == e["n_tokens"]
+            n_checked += 1
+    assert n_checked == sum(len(o["turns"]) for o in oracle.values())
+
+
+def test_records_equality(outputs, oracle):
+    records = outputs["records"].sort_values(["conv_id", "segment_index", "row_index"])
+    total_expected = sum(len(o["records"]) for o in oracle.values())
+    assert len(records) == total_expected
+    for conv_id, grp in records.groupby("conv_id"):
+        exp = oracle[conv_id]["records"]
+        got = list(grp.itertuples())
+        assert len(got) == len(exp), conv_id
+        for g, e in zip(got, exp):
+            key = (conv_id, e["segment_index"], e["row_index"])
+            assert (g.segment_index, g.row_index) == (e["segment_index"], e["row_index"]), key
+            assert g.turn_idx == e["turn_idx"], key
+            assert g.posted_date == e["posted_date"], key
+            assert g.description_clean == e["description_clean"], key
+            assert g.amount == e["amount"], key
+            assert g.direction == e["direction"], key
+            assert g.direction_source == e["direction_source"], key
+            assert g.running_balance == e["running_balance"], key
+            assert bool(g.balance_confirmed) == e["balance_confirmed"], key
+            assert float(g.confidence_direction) == round(e["confidence_direction"], 4), key
+            assert float(g.confidence_amount) == round(e["confidence_amount"], 4), key
+            assert float(g.confidence_date) == round(e["confidence_date"], 4), key
+
+
+def test_conversations_equality(outputs, oracle):
+    conv = outputs["conversations"].set_index("conv_id")
+    assert len(conv) == len(oracle)
+    for conv_id, o in oracle.items():
+        e = o["conversation"]
+        g = conv.loc[conv_id]
+        assert g["doc_family"] == e["doc_family"], conv_id
+        assert math.isclose(float(g["doc_family_confidence"]),
+                            e["doc_family_confidence"], abs_tol=1e-4), conv_id
+        assert (g["provider"] if pd.notna(g["provider"]) else None) == e["provider"], conv_id
+        got_name = g["account_holder_name"] if pd.notna(g["account_holder_name"]) else None
+        assert got_name == e["account_holder_name"], conv_id
+        got_pc = g["account_holder_postcode"] if pd.notna(g["account_holder_postcode"]) else None
+        assert got_pc == e["account_holder_postcode"], conv_id
+        assert math.isclose(float(g["document_confidence"]),
+                            e["document_confidence"], abs_tol=1e-4), conv_id
+        assert g["validation_status"] == e["validation_status"], conv_id
+        assert g["final_status"] == e["final_status"], conv_id
+        assert g["row_count"] == e["row_count"], conv_id
+        assert g["n_segments"] == e["n_segments"], conv_id
+
+
+def test_segments_equality(outputs, oracle):
+    segs = outputs["segments"].sort_values(["conv_id", "segment_index"])
+    for conv_id, grp in segs.groupby("conv_id"):
+        exp = oracle[conv_id]["segments"]
+        got = list(grp.itertuples())
+        assert len(got) == len(exp), conv_id
+        for g, e in zip(got, exp):
+            assert g.segment_index == e["segment_index"]
+            assert (g.opening_balance if pd.notna(g.opening_balance) else None) == e["opening_balance"]
+            assert g.n_records == e["n_records"]
+
+
+def test_corpus_exercises_all_paths(oracle):
+    """The fixture corpus must cover every branch we claim to test."""
+    families = {o["conversation"]["doc_family"] for o in oracle.values()}
+    assert {"BANK_STATEMENT", "MOTOR_FINANCE", "UNKNOWN"} <= families
+    n_multi_segment = sum(1 for o in oracle.values() if o["conversation"]["n_segments"] > 1)
+    assert n_multi_segment >= 2
+    n_records = sum(o["conversation"]["row_count"] for o in oracle.values())
+    assert n_records > 200
+    directions = {r["direction"] for o in oracle.values() for r in o["records"]}
+    assert {"DEBIT", "CREDIT"} <= directions
+    confirmed = sum(1 for o in oracle.values() for r in o["records"] if r["balance_confirmed"])
+    assert confirmed > 50
+    providers = {o["conversation"]["provider"] for o in oracle.values()}
+    assert len(providers) >= 3

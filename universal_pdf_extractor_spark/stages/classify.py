@@ -1,0 +1,130 @@
+"""Stage 3 — conversation-level classification (native regex folds).
+
+Parity with the integrated reference path (orchestrator.py:316-345):
+classification, provider detection and customer-info extraction all
+run over ONE combined string — '\\n'.join of the non-empty per-turn
+raw_texts in turn order.
+
+- doc classifier (doc_classifier.py:62-105): per-keyword weighted
+  additions chained in pattern order (fp-order parity), capped at
+  1.0, argmax with a 0.3 floor;
+- provider detector (provider_detector.py:99-127): per-provider match
+  counts * 0.4 capped at 1.0; best score wins, first-seen provider
+  wins ties (greatest over (score, -order, name) structs);
+- customer info (orchestrator.py:79-146): postcode anchor + walk-back
+  block — a sequential scan, so it stays in a small pandas UDF over
+  the one-row-per-conversation frame.
+
+The groupBy(conv_id) reuses the segment stage's hash exchange when
+chained after it; classification itself adds no UDF over turn rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..kernels.classify import (
+    BANK_STATEMENT_WEIGHT,
+    CLASSIFY_FLOOR,
+    MOTOR_FINANCE_WEIGHT,
+    PROVIDER_MATCH_WEIGHT,
+)
+from ..kernels.customer import extract_customer_info
+from ..kernels.patterns import (
+    BANK_STATEMENT_KEYWORDS,
+    MOTOR_FINANCE_KEYWORDS,
+    PROVIDER_PATTERNS,
+    _noncapturing,
+)
+
+_CUSTOMER_TYPE = StructType([
+    StructField("account_holder_name", StringType(), True),
+    StructField("account_holder_address", StringType(), True),
+    StructField("account_holder_postcode", StringType(), True),
+])
+
+
+@pandas_udf(_CUSTOMER_TYPE)
+def _customer_udf(conv_text: pd.Series) -> pd.DataFrame:
+    rows = [extract_customer_info(t or "") for t in conv_text]
+    return pd.DataFrame(rows, index=conv_text.index)
+
+
+def _keyword_score(text_col: Column, patterns: list[str], weight: float) -> Column:
+    """Chained weighted additions in pattern order, capped at 1.0."""
+    score = F.lit(0.0)
+    for p in patterns:
+        score = score + F.when(text_col.rlike(_noncapturing(p)), F.lit(weight)).otherwise(F.lit(0.0))
+    return F.least(score, F.lit(1.0))
+
+
+def _provider_best(text_col: Column) -> Column:
+    """greatest((score, -order, name)) -> first-seen wins ties."""
+    candidates = []
+    for order, (provider, patterns) in enumerate(PROVIDER_PATTERNS.items()):
+        matches = sum(
+            (F.when(text_col.rlike(_noncapturing(p)), F.lit(1)).otherwise(F.lit(0))
+             for p in patterns),
+            start=F.lit(0),
+        )
+        score = F.least(matches.cast("double") * F.lit(PROVIDER_MATCH_WEIGHT), F.lit(1.0))
+        candidates.append(F.struct(score.alias("score"),
+                                   F.lit(-order).alias("neg_order"),
+                                   F.lit(provider).alias("name")))
+    return F.greatest(*candidates)
+
+
+def conversation_text(turns: DataFrame) -> DataFrame:
+    """conv_id -> combined '\\n'-joined non-empty raw_texts in order."""
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "raw_text")))
+    texts = F.filter(F.transform(ordered, lambda x: x["raw_text"]), lambda t: t != "")
+    return turns.groupBy("conv_id").agg(
+        F.array_join(texts, "\n").alias("conv_text"),
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+    )
+
+
+def classify_stage(turns: DataFrame) -> DataFrame:
+    """turns -> one row per conversation with family/provider/customer."""
+    conv = conversation_text(turns)
+    lowered = F.lower(F.col("conv_text"))
+
+    mf = _keyword_score(lowered, MOTOR_FINANCE_KEYWORDS, MOTOR_FINANCE_WEIGHT)
+    bs = _keyword_score(lowered, BANK_STATEMENT_KEYWORDS, BANK_STATEMENT_WEIGHT)
+
+    conv = conv.withColumn("_mf", mf).withColumn("_bs", bs)
+    conv = conv.withColumn(
+        "doc_family",
+        F.when((F.col("_bs") > F.col("_mf")) & (F.col("_bs") >= CLASSIFY_FLOOR),
+               F.lit("BANK_STATEMENT"))
+         .when((F.col("_mf") > F.col("_bs")) & (F.col("_mf") >= CLASSIFY_FLOOR),
+               F.lit("MOTOR_FINANCE"))
+         .otherwise(F.lit("UNKNOWN")),
+    ).withColumn(
+        "doc_family_confidence",
+        F.when(F.col("doc_family") == "BANK_STATEMENT", F.col("_bs"))
+         .when(F.col("doc_family") == "MOTOR_FINANCE", F.col("_mf"))
+         .otherwise(F.greatest(F.col("_bs"), F.col("_mf"))),
+    )
+
+    best = _provider_best(lowered)
+    conv = conv.withColumn("_best", best).withColumn(
+        "provider",
+        F.when(F.col("_best.score") > 0, F.col("_best.name")),
+    ).withColumn(
+        "provider_confidence",
+        F.when(F.col("_best.score") > 0, F.col("_best.score")),
+    )
+
+    conv = conv.withColumn("_cust", _customer_udf(F.col("conv_text")))
+    return conv.select(
+        "conv_id", "n_turns", "doc_family", "doc_family_confidence",
+        "provider", "provider_confidence",
+        F.col("_cust.account_holder_name").alias("account_holder_name"),
+        F.col("_cust.account_holder_address").alias("account_holder_address"),
+        F.col("_cust.account_holder_postcode").alias("account_holder_postcode"),
+    )

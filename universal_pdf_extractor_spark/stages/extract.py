@@ -1,0 +1,133 @@
+"""Stage 4 — per-segment record extraction (grouped pandas UDF).
+
+The sequential parts of the reference pipeline — row reconstruction
+(table_extractor.py:243-321), role assignment ordering
+(semantic_mapper.py:167-281) and the balance-chain walks
+(balance_solver.py:172-245,390-430) — carry genuine running state, so
+they execute inside ONE ``applyInPandas`` grouped by conv_id,
+iterating that conversation's segments in order.  Everything upstream
+(tokenize, boundary scoring, segment ids) and downstream (scoring,
+joins, ordering) is native.
+
+Grouping by conv_id (not (conv_id, segment_index)) deliberately
+reuses the hash exchange introduced by the segment stage's window —
+the plan shows a single Exchange feeding both.  Conversations are
+bounded by MAX_TURNS in this corpus; for corpora with pathological
+conversation lengths, regroup by (conv_id, segment_index) instead
+(one extra shuffle, finer skew splitting) — see stages/pipeline.py.
+
+Output carries the reference `transactions` row shape
+(tables.py:298-382) plus per-segment opening/closing balances used to
+assemble the segments table without a second pass.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    DecimalType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels.layout import tokenize_turn
+from ..kernels.segment_extract import analyse_segment
+
+RECORDS_STAGE_SCHEMA = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("segment_index", IntegerType(), False),
+    StructField("row_index", IntegerType(), False),
+    StructField("turn_idx", IntegerType(), False),
+    StructField("posted_date", DateType(), True),
+    StructField("description_raw", StringType(), True),
+    StructField("description_clean", StringType(), True),
+    StructField("amount", DecimalType(15, 2), True),
+    StructField("direction", StringType(), False),
+    StructField("direction_source", StringType(), True),
+    StructField("running_balance", DecimalType(15, 2), True),
+    StructField("balance_confirmed", BooleanType(), False),
+    StructField("balance_tolerance_used", DecimalType(6, 4), True),
+    StructField("confidence_amount", DecimalType(5, 4), True),
+    StructField("confidence_date", DecimalType(5, 4), True),
+    StructField("confidence_direction", DecimalType(5, 4), True),
+    StructField("segment_opening_balance", DecimalType(15, 2), True),
+    StructField("segment_closing_balance", DecimalType(15, 2), True),
+])
+
+_COLUMNS = [f.name for f in RECORDS_STAGE_SCHEMA.fields]
+
+
+def _conf(x: float) -> Decimal:
+    # reference persists Decimal(str(round(x, 4))) (orchestrator.py:676-678)
+    return Decimal(str(round(x, 4)))
+
+
+def _extract_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("turn_idx")
+    conv_id = pdf["conv_id"].iloc[0]
+    out_rows: list[dict] = []
+    for seg_idx, seg in pdf.groupby("segment_index", sort=True):
+        lines: list[dict] = []
+        for turn_idx, payload in zip(seg["turn_idx"], seg["payload"]):
+            _, turn_lines = tokenize_turn(payload)
+            for ln in turn_lines:
+                ln["turn_idx"] = int(turn_idx)
+                lines.append(ln)
+        result = analyse_segment(lines)
+        for rec in result["records"]:
+            out_rows.append({
+                "conv_id": conv_id,
+                "segment_index": int(seg_idx),
+                "row_index": rec["row_index"],
+                "turn_idx": rec["turn_idx"],
+                "posted_date": rec["posted_date"],
+                "description_raw": rec["description_raw"],
+                "description_clean": rec["description_clean"],
+                "amount": rec["amount"],
+                "direction": rec["direction"],
+                "direction_source": rec["direction_source"],
+                "running_balance": rec["running_balance"],
+                "balance_confirmed": rec["balance_confirmed"],
+                "balance_tolerance_used": rec["balance_tolerance_used"],
+                "confidence_amount": _conf(rec["confidence_amount"]),
+                "confidence_date": _conf(rec["confidence_date"]),
+                "confidence_direction": _conf(rec["confidence_direction"]),
+                "segment_opening_balance": result["opening_balance"],
+                "segment_closing_balance": result["closing_balance"],
+            })
+    return pd.DataFrame(out_rows, columns=_COLUMNS)
+
+
+def extract_stage(turns_seg: DataFrame) -> DataFrame:
+    """turns(+segment_index) -> extracted records (one row per
+    reconstructed transaction row)."""
+    slim = turns_seg.select("conv_id", "turn_idx", "segment_index", "payload")
+    return slim.groupBy("conv_id").applyInPandas(
+        _extract_conversation, schema=RECORDS_STAGE_SCHEMA)
+
+
+def segments_table(turns_seg: DataFrame, records: DataFrame) -> DataFrame:
+    """Per-segment ranges + balances (document_segments analogue)."""
+    ranges = turns_seg.groupBy("conv_id", "segment_index").agg(
+        F.min("turn_idx").cast("int").alias("start_turn"),
+        F.max("turn_idx").cast("int").alias("end_turn"),
+    )
+    rec_agg = records.groupBy("conv_id", "segment_index").agg(
+        F.first("segment_opening_balance").alias("opening_balance"),
+        F.first("segment_closing_balance").alias("closing_balance"),
+        F.count(F.lit(1)).cast("int").alias("n_records"),
+    )
+    return (
+        ranges.join(rec_agg, ["conv_id", "segment_index"], "left")
+        .withColumn("n_records", F.coalesce(F.col("n_records"), F.lit(0)).cast("int"))
+        .select("conv_id", "segment_index", "start_turn", "end_turn",
+                "opening_balance", "closing_balance", "n_records")
+    )

@@ -1,0 +1,64 @@
+"""End-to-end pipeline assembly.
+
+    transcripts
+      -> tokenize_stage      (no shuffle; Arrow-batched layout kernel)
+      -> segment_stage       (native rlike + window; shuffle #1 on conv_id)
+      -> extract_stage       (applyInPandas per conversation; REUSES
+                              the conv_id exchange - no new shuffle)
+      -> classify_stage      (groupBy conv_id; reuses the exchange)
+      -> conversations_table (agg over the small records frame)
+
+Outputs: turns (north-rule per-turn main content), records
+(transactions analogue), segments, conversations.
+
+Scale notes (10^12 turns):
+- the fat `text` column is shuffled exactly once (the conv_id
+  exchange); all conversation-level stages hang off that one exchange;
+- AQE handles skewed conversations at the exchange; for corpora with
+  unbounded conversation lengths switch EXTRACT grouping to
+  (conv_id, segment_index) — boundaries split giant documents the
+  same way the reference segments multi-statement PDFs;
+- outputs are written partitioned by bucket(conv_id) with
+  (conv_id, turn_idx) sort order; see io/manifest.py for resumable
+  per-bucket writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+from .classify import classify_stage
+from .extract import extract_stage, segments_table
+from .score import conversations_table
+from .segment import segment_stage
+from .tokenize import tokenize_stage
+
+
+def run_pipeline(transcripts: DataFrame) -> dict[str, DataFrame]:
+    """Assemble all output tables (lazily)."""
+    turns = tokenize_stage(transcripts)
+    turns_seg = segment_stage(turns)
+
+    records_stage = extract_stage(turns_seg)
+    records = records_stage.drop("segment_opening_balance", "segment_closing_balance")
+    segments = segments_table(turns_seg, records_stage)
+
+    conv_meta = classify_stage(turns_seg)
+    n_segments = turns_seg.groupBy("conv_id").agg(
+        (F.max("segment_index") + 1).cast("int").alias("n_segments"))
+    conversations = conversations_table(conv_meta, records_stage).join(
+        n_segments, "conv_id", "left")
+
+    turns_out = turns_seg.select(
+        "conv_id", "turn_idx", "role", "ts", "extraction_path",
+        "raw_text", "clean_text", "spans", "top_text",
+        "n_lines", "n_tokens", "segment_index",
+        "boundary_score", "is_boundary", "boundary_confidence",
+    )
+    return {
+        "turns": turns_out,
+        "records": records,
+        "segments": segments,
+        "conversations": conversations,
+    }

@@ -1,0 +1,76 @@
+"""Stage 1 — tokenize + boilerplate strip (shuffle-free).
+
+Maps each transcript turn through the layout kernel
+(kernels/layout.py) with ONE Arrow round trip: a struct-returning
+scalar pandas UDF computes raw_text (reading-order reconstruction),
+clean_text + spans (boilerplate strip, the north-rule primary
+output), top_text (segmenter band) and token/line counts.
+
+Engine selection mirrors the reference's text-layer probe
+(app/engines/pdfplumber_engine.py:169-185 routing,
+orchestrator.py:259-275): a turn whose `text` is non-empty takes the
+TEXT path; otherwise a non-empty `tool` payload takes the TOOL path
+(the OCR-fallback analogue, producing the identical shape,
+app/engines/tesseract_engine.py:82-169); else EMPTY.
+
+No shuffle: the whole stage pipelines inside the scan stage, and
+Catalyst prunes unused transcript columns away from the parquet read.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels.layout import turn_view_batch
+from ..schemas import SPAN_TYPE
+
+VIEW_TYPE = StructType([
+    StructField("raw_text", StringType(), False),
+    StructField("top_text", StringType(), False),
+    StructField("clean_text", StringType(), False),
+    StructField("spans", ArrayType(SPAN_TYPE), False),
+    StructField("n_lines", IntegerType(), False),
+    StructField("n_tokens", IntegerType(), False),
+])
+
+
+@pandas_udf(VIEW_TYPE)
+def _turn_view_udf(payload: pd.Series) -> pd.DataFrame:
+    return turn_view_batch(payload)
+
+
+def tokenize_stage(transcripts: DataFrame) -> DataFrame:
+    """transcripts -> + (extraction_path, payload, view columns)."""
+    text_ok = F.col("text").isNotNull() & (F.col("text") != "")
+    tool_ok = F.col("tool").isNotNull() & (F.col("tool") != "")
+    df = transcripts.withColumn(
+        "extraction_path",
+        F.when(text_ok, F.lit("TEXT"))
+         .when(tool_ok, F.lit("TOOL"))
+         .otherwise(F.lit("EMPTY")),
+    ).withColumn(
+        "payload",
+        F.when(text_ok, F.col("text"))
+         .when(tool_ok, F.col("tool"))
+         .otherwise(F.lit("")),
+    )
+    df = df.withColumn("view", _turn_view_udf(F.col("payload")))
+    return df.select(
+        "conv_id", "turn_idx", "role", "ts", "extraction_path", "payload",
+        F.col("view.raw_text").alias("raw_text"),
+        F.col("view.top_text").alias("top_text"),
+        F.col("view.clean_text").alias("clean_text"),
+        F.col("view.spans").alias("spans"),
+        F.col("view.n_lines").alias("n_lines"),
+        F.col("view.n_tokens").alias("n_tokens"),
+    )
