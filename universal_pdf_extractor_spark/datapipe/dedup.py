@@ -1,0 +1,244 @@
+"""Deduplication operators over a documents table (doc_id, text).
+
+All variants are expressed as DataFrame plans that scale by shuffle
+keys with bounded cardinality:
+
+- exact:          one groupBy on a 256-bit content hash (never on the
+                  raw text — the hash is the shuffle key).
+- ngram-jaccard:  shingle explode -> self-join on shingle -> pair
+                  aggregation.  Quadratic in cluster size but linear
+                  in corpus when shingle frequencies are capped
+                  (drop ubiquitous shingles like stop-shingles).
+- minhash-LSH:    k permutations via affine hashing of shingle hashes,
+                  banded into b bands -> candidate pairs join only
+                  collides within bands (the classic
+                  shingle->minhash->band->bucket-join cascade).
+- simhash:        64-bit weighted-bit fingerprint; near-dups collide
+                  on rotated prefix buckets.
+
+Determinism: all hash mixing is arithmetic on xxhash64/crc32 outputs
+of built-in Spark functions — no Python RNG, stable across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+MERSENNE_PRIME = (1 << 31) - 1  # 31-bit field: a*h+b stays far below int64 under ANSI mode
+
+
+def normalize_text(col):
+    """Whitespace-collapse + lowercase: canonical dedup key."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_duplicates(documents: DataFrame,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (keep_id, n_dups, dup_ids) per duplicated text.
+
+    Shuffles on sha2(text) so the wide text column never keys an
+    exchange; map-side partial aggregation applies.
+    """
+    normed = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(normalize_text(F.col(text_col)), 256).alias("content_hash"),
+    )
+    return (
+        normed.groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def word_shingles(text_col, n: int = 3):
+    """Word n-gram shingle array (distinct)."""
+    words = F.split(normalize_text(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(F.size(words) >= n,
+               F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")))
+        .otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame,
+                        threshold: float = 0.8,
+                        n: int = 3,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        max_shingle_freq: int = 1000) -> DataFrame:
+    """Near-dup pairs (a, b, jaccard) with a < b and jaccard >= threshold.
+
+    |A∩B| via a shingle self-join; |A∪B| = |A|+|B|-|A∩B|.  Shingles
+    occurring in more than ``max_shingle_freq`` docs are dropped
+    before the join (they generate quadratic candidates but cannot by
+    themselves push Jaccard over a high threshold at corpus scale).
+    """
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).withColumn("n_shingles", F.size("shingles"))
+
+    exploded = docs.select("doc_id", "n_shingles",
+                           F.explode("shingles").alias("shingle"))
+    freq_ok = (exploded.groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("df"))
+               .where(F.col("df") <= max_shingle_freq))
+    exploded = exploded.join(freq_ok.select("shingle"), "shingle")
+
+    left = exploded.select(F.col("doc_id").alias("a"),
+                           F.col("n_shingles").alias("na"), "shingle")
+    right = exploded.select(F.col("doc_id").alias("b"),
+                            F.col("n_shingles").alias("nb"), "shingle")
+    pairs = (
+        left.join(right, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn("jaccard",
+                    F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+def _affine_minhash(shingle_hash, a: int, b: int):
+    """Universal-hash permutation over a 61-bit Mersenne field."""
+    return F.pmod(shingle_hash * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME))
+
+
+def minhash_signatures(documents: DataFrame,
+                       num_hashes: int = 64,
+                       n: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, signature[num_hashes]) via affine permutations of
+    xxhash64(shingle)."""
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.transform("shingles",
+                    lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_PRIME))).alias("hs"),
+    )
+    # fixed deterministic coefficients: a_i = 2i+1 (odd), b_i mixed
+    def _perm(a: int, b: int):
+        return lambda h: _affine_minhash(h, a, b)
+
+    sig_cols = []
+    for i in range(num_hashes):
+        a = 2 * i + 1
+        b = (i * 0x9E3779B9 + 0x85EBCA6B) % MERSENNE_PRIME
+        sig_cols.append(F.array_min(F.transform("hs", _perm(a, b))).alias(f"mh_{i}"))
+    return hashed.select("doc_id", F.array(*sig_cols).alias("signature"))
+
+
+def minhash_lsh_pairs(documents: DataFrame,
+                      num_hashes: int = 64,
+                      bands: int = 16,
+                      n: int = 3,
+                      threshold: float = 0.7,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Candidate pairs via banded LSH, verified by signature similarity.
+
+    bands * rows_per_band == num_hashes; a pair is a candidate if any
+    band matches; est_jaccard = matching minhashes / num_hashes.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes, n, id_col, text_col)
+
+    banded = sigs.select(
+        "doc_id", "signature",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.hash(*[F.col("signature")[band * rows_per_band + r]
+                         for r in range(rows_per_band)]).alias("bucket"),
+            )
+            for band in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
+                F.col("l.signature").alias("sa"), F.col("r.signature").alias("sb"))
+        .dropDuplicates(["a", "b"])
+    )
+    est = F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m))
+    return (candidates
+            .withColumn("est_jaccard", est / F.lit(num_hashes))
+            .where(F.col("est_jaccard") >= threshold)
+            .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard")))
+
+
+def simhash_fingerprints(documents: DataFrame,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens (unit weights).
+
+    bit_j(fingerprint) = 1 iff sum over tokens of sign(bit_j(h)) > 0.
+    Computed columnarly: per bit, count tokens with the bit set vs
+    total, no UDF.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    hashed = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(words, lambda w: F.xxhash64(w)).alias("hs"),
+        F.size(words).alias("n_tokens"),
+    )
+    def _bit_test(j: int):
+        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
+
+    bit_terms = []
+    for j in range(64):
+        ones = F.size(F.filter("hs", _bit_test(j)))
+        bit = F.when(ones * 2 > F.col("n_tokens"), F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit_terms.append(F.shiftleft(bit, j))
+    fingerprint = bit_terms[0]
+    for t in bit_terms[1:]:
+        fingerprint = fingerprint.bitwiseOR(t)
+    return hashed.select("doc_id", fingerprint.alias("simhash"), "n_tokens")
+
+
+def simhash_near_dups(documents: DataFrame,
+                      max_hamming: int = 3,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 x 16-bit sub-fingerprints
+    (pigeonhole: hamming<=3 pairs share at least one exact block),
+    verify hamming distance exactly."""
+    fps = simhash_fingerprints(documents, id_col, text_col)
+    blocked = fps.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("block"),
+                     F.shiftright("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for k in range(4)
+        ])).alias("bk"),
+    ).select("doc_id", "simhash", "bk.block", "bk.key")
+
+    pairs = (
+        blocked.alias("l").join(blocked.alias("r"), ["block", "key"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
+                F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"))
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (pairs.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
