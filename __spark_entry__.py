@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: full transcripts-extraction pipeline at
+                sf0.001 (deterministic synthetic corpus, FIXTURES.md),
+                returning the per-turn main-content table.
+queries()     — operator catalogue (SURVEY.md §2 + training-data ops),
+                see universal_pdf_extractor_spark/entry_queries.py.
+oracle_sql()  — DuckDB equivalents for every SQL-expressible entry.
 """
 
 from __future__ import annotations
@@ -13,26 +14,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from universal_pdf_extractor_spark import entry_queries
+from universal_pdf_extractor_spark.io.fixtures import n_convs_for_sf, transcripts_sdf
+from universal_pdf_extractor_spark.stages.pipeline import run_pipeline
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: per-turn main-content extraction (clean_text +
+    span offsets + segment ids) over the sf0.001 transcripts corpus."""
+    transcripts = transcripts_sdf(spark, n_convs_for_sf(0.001), partitions=8)
+    turns = run_pipeline(transcripts)["turns"]
+    return turns.select(
+        "conv_id", "turn_idx", "role", "extraction_path",
+        "clean_text", "spans", "segment_index", "n_lines", "n_tokens",
+    ).orderBy("conv_id", "turn_idx")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return entry_queries.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return entry_queries.oracle_sql()

@@ -1,0 +1,497 @@
+"""Query catalogue for the driver contract (__spark_entry__.py).
+
+Each entry maps one operator family from SURVEY.md §2 to a Spark
+DataFrame plan over the driver's parquet tables, paired with an ANSI
+SQL oracle DuckDB runs on the same tables.  Column names are aligned
+on both sides; floating outputs are either integers, decimals, or
+divisions of identical inputs (bit-stable across engines); sums use
+DECIMAL casts so distributed accumulation order cannot change values.
+
+Entries without SQL (the transcripts pipeline itself, hash-based
+fingerprints) omit the oracle -> the driver records a rows-only check;
+their value equality is enforced by tests/test_pipeline_e2e.py against
+the single-process oracle instead.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F  # noqa: N812
+
+from .datapipe import dedup, similarity, textstats
+from .io.fixtures import n_convs_for_sf, transcripts_sdf
+from .stages.pipeline import run_pipeline
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def wrap(fn: QueryFn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+    return wrap
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.01
+
+
+# ───────────────────────── relational engine primitives ─────────────
+
+@register("agg_pricing_summary", """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+""")
+def agg_pricing_summary(spark, sf_dir):
+    """A3/A4 aggregate mapping: grouped sums with decimal-safe money."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+    )
+
+
+@register("join_orders_customers", """
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+""")
+def join_orders_customers(spark, sf_dir):
+    """J1 join mapping: broadcast the customer dimension."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    return (orders.join(F.broadcast(customer),
+                        orders.o_custkey == customer.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price")))
+
+
+@register("window_lead_sessions", """
+    SELECT event_id,
+           CAST(date_diff('second', ts,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                AS BIGINT) AS gap_seconds
+    FROM events
+""")
+def window_lead_sessions(spark, sf_dir):
+    """C4 mapping: lead() window replaces boundary->range conversion."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "event_id",
+        (F.unix_timestamp(nxt) - F.unix_timestamp("ts")).cast("bigint").alias("gap_seconds"),
+    )
+
+
+@register("cumsum_segmentation", """
+    SELECT event_id,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS INT) AS segment_index
+    FROM events
+""")
+def cumsum_segmentation(spark, sf_dir):
+    """C3/C4 segment-id mapping: running boundary count (no range join)."""
+    ev = _read(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    boundary = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return ev.select("event_id",
+                     F.sum(boundary).over(w).cast("int").alias("segment_index"))
+
+
+@register("forward_fill_w8", """
+    SELECT event_id,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'view' THEN NULL
+                      ELSE CAST(value AS DECIMAL(18,6)) END AS v
+          FROM events)
+""")
+def forward_fill_w8(spark, sf_dir):
+    """W8 mapping: last(ignorenulls) carries values down rows."""
+    ev = _read(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "view", F.lit(None)) \
+         .otherwise(F.col("value").cast("decimal(18,6)"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.withColumn("v", v).select(
+        "event_id", F.last("v", ignorenulls=True).over(w).alias("filled_value"))
+
+
+@register("latest_run_lookup", """
+    SELECT user_id, event_id AS latest_event_id FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+""")
+def latest_run_lookup(spark, sf_dir):
+    """J4 mapping: is_latest flag via row_number over recency."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+            .select("user_id", F.col("event_id").alias("latest_event_id")))
+
+
+@register("topk_ordering", """
+    SELECT event_id, CAST(value AS DECIMAL(18,6)) AS value
+    FROM events ORDER BY value DESC, event_id ASC LIMIT 50
+""")
+def topk_ordering(spark, sf_dir):
+    """O1/O7 mapping: deterministic total ordering + limit."""
+    ev = _read(spark, sf_dir, "events")
+    return (ev.orderBy(F.desc("value"), F.asc("event_id")).limit(50)
+            .select("event_id", F.col("value").cast("decimal(18,6)").alias("value")))
+
+
+@register("fallback_cascade", """
+    SELECT c.c_custkey AS custkey,
+           CASE WHEN o.o_custkey IS NULL THEN 'FALLBACK' ELSE 'PRIMARY' END AS src
+    FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON c.c_custkey = o.o_custkey
+""")
+def fallback_cascade(spark, sf_dir):
+    """§2.10 mapping: first-non-empty cascade == anti-join + union."""
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").select("o_custkey").distinct()
+    primary = (customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+               .select(F.col("c_custkey").alias("custkey"), F.lit("PRIMARY").alias("src")))
+    fallback = (customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+                .select(F.col("c_custkey").alias("custkey"), F.lit("FALLBACK").alias("src")))
+    return primary.unionByName(fallback)
+
+
+@register("quality_gate_filter", """
+    SELECT event_id FROM events
+    WHERE value IS NOT NULL OR trim(coalesce(props, '')) <> ''
+""")
+def quality_gate_filter(spark, sf_dir):
+    """P8 mapping: drop rows with no amount AND blank description."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.where(F.col("value").isNotNull()
+                    | (F.trim(F.coalesce(F.col("props"), F.lit(""))) != "")) \
+             .select("event_id")
+
+
+# ───────────────────── extraction kernels over testdata ─────────────
+
+@register("boilerplate_strip_docs", r"""
+    WITH lines AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(string_split(text, chr(10)),
+                                  l -> trim(regexp_replace(l, '\s+', ' ', 'g'))),
+                   l -> l <> '') AS norm_lines
+        FROM documents)
+    SELECT doc_id,
+           array_to_string(
+               list_filter(norm_lines, l -> NOT regexp_matches(lower(l),
+                   '(?:(?:balance\s+)?(?:carried|brought)\s+(?:forward|fwd|f/?wd))|(?:\bb/?f\b)|(?:\bc/?f\b)|(?:balance\s+(?:at|on)\s+(?:start|end|close))|(?:(?:opening|closing)\s+balance)|(?:total\s+balance\s+(?:carried|brought))|(?:continued\s+(?:on|over))|(?:statement\s+continued)|(?:personal\s+account\s*(?:balance|statement))|(?:(?:total|net)\s+(?:balance|outgoings|deposits|income|payments|in|out))|(?:balance\s+in\s+pots?)|(?:(?:including|excluding)\s+(?:all\s+)?pots?)|(?:(?:regular|savings)\s+pots?\s+(?:with|provided))|(?:sort\s*code)|(?:account\s*number)|(?:\biban\b)|(?:\bbic\b)|(?:\bswift\b)|(?:statement\s+period)|(?:(?:from|to)\s+\d{1,2}[\/\-]\d{1,2}[\/\-]\d{2,4})|(?:(?:financial\s+services|compensation\s+scheme|fscs))|(?:(?:authorised|regulated)\s+by)|(?:registered\s+(?:office|in\s+england))|(?:company\s+(?:registered|number|no))|(?:monzo\s+bank\s+limited)|(?:pot\s+(?:type|name|balance|statement))|(?:this\s+pot\s+was\s+(?:closed|opened))|(?:(?:important\s+information|compensation\s+arrangements))|(?:(?:page|sheet)\s+\d+\s+(?:of|/)\s+\d+)')),
+               chr(10)) AS clean_text
+    FROM lines
+""")
+def boilerplate_strip_docs(spark, sf_dir):
+    """S3+P5/P6 flagship slice over the documents table: reading-order
+    normalization + boilerplate suppression, all JVM-side."""
+    docs = _read(spark, sf_dir, "documents")
+    from .kernels.patterns import BALANCE_MARKER_RLIKE, SUMMARY_ROW_RLIKE
+    norm = F.filter(
+        F.transform(F.split(F.col("text"), "\n"),
+                    lambda l: F.trim(F.regexp_replace(l, r"\s+", " "))),
+        lambda l: l != "")
+    combined = f"(?:{BALANCE_MARKER_RLIKE})|(?:{SUMMARY_ROW_RLIKE})"
+    kept = F.filter(norm, lambda l: ~F.lower(l).rlike(combined))
+    return docs.select("doc_id", F.array_join(kept, "\n").alias("clean_text"))
+
+
+@register("date_parse_roundtrip", """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS posted_date
+    FROM orders
+""")
+def date_parse_roundtrip(spark, sf_dir):
+    """P3 mapping: render each order date as a UK dd/MM/yyyy string,
+    parse it back through the kernel ladder inside a pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DateType
+
+    from .kernels.dates import parse_date
+
+    @pandas_udf(DateType())
+    def parse_uk(raw: pd.Series) -> pd.Series:
+        return raw.map(lambda s: parse_date(s).parsed_date)
+
+    orders = _read(spark, sf_dir, "orders")
+    rendered = F.date_format(F.col("o_orderdate"), "dd/MM/yyyy")
+    return orders.select("o_orderkey", parse_uk(rendered).alias("posted_date"))
+
+
+@register("amount_parse_roundtrip", """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CASE WHEN (l_orderkey + l_linenumber) % 4 = 1
+                     THEN -CAST(l_extendedprice AS DECIMAL(15,2))
+                     ELSE CAST(l_extendedprice AS DECIMAL(15,2)) END
+                AS DECIMAL(15,2)) AS amount
+    FROM lineitem
+""")
+def amount_parse_roundtrip(spark, sf_dir):
+    """P1 mapping: render prices in UK statement conventions
+    (commas, parentheses-negative) and parse them back vectorized."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DecimalType
+
+    from .kernels.amounts import parse_amount_batch
+
+    @pandas_udf(DecimalType(15, 2))
+    def parse_uk(raw: pd.Series) -> pd.Series:
+        return parse_amount_batch(raw)["amount"]
+
+    li = _read(spark, sf_dir, "lineitem")
+    base = F.format_number(F.col("l_extendedprice").cast("decimal(15,2)"), 2)
+    styled = F.when((F.col("l_orderkey") + F.col("l_linenumber")) % 4 == 1,
+                    F.concat(F.lit("("), base, F.lit(")"))) \
+              .otherwise(base)
+    return li.select("l_orderkey", "l_linenumber",
+                     parse_uk(styled).alias("amount"))
+
+
+@register("date_like_flags", r"""
+    SELECT o_orderkey,
+           regexp_matches(strftime(o_orderdate, '%d/%m/%Y'),
+               '\d{1,2}[/\-\.]\d{1,2}[/\-\.]\d{2,4}') AS date_like,
+           regexp_matches(o_orderpriority,
+               '\d{1,2}[/\-\.]\d{1,2}[/\-\.]\d{2,4}') AS priority_date_like
+    FROM orders
+""")
+def date_like_flags(spark, sf_dir):
+    """P4 mapping: pure-regex predicate evaluated natively (rlike)."""
+    orders = _read(spark, sf_dir, "orders")
+    pat = r"\d{1,2}[/\-\.]\d{1,2}[/\-\.]\d{2,4}"
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "dd/MM/yyyy").rlike(pat).alias("date_like"),
+        F.col("o_orderpriority").rlike(pat).alias("priority_date_like"),
+    )
+
+
+# ───────────────────── training-data pipeline operators ─────────────
+
+@register("dedup_exact_groups", """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+    SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_key,
+           MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+    FROM corpus
+    GROUP BY 1 HAVING COUNT(*) > 1
+""")
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup (hash-groupBy).  The corpus is salted with known
+    duplicates (doc_id%5) so the group structure is non-trivial."""
+    docs = _read(spark, sf_dir, "documents")
+    dups = docs.where(F.col("doc_id") % 5 == 0) \
+               .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    corpus = docs.select("doc_id", "text").unionByName(dups)
+    normed = corpus.select("doc_id", dedup.normalize_text(F.col("text")).alias("content_key"))
+    return (normed.groupBy("content_key")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("group_size"))
+            .where(F.col("group_size") > 1))
+
+
+@register("dedup_ngram_jaccard", r"""
+    WITH words AS (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        FROM documents),
+    shingled AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(w) >= 3
+                   THEN list_transform(range(1, len(w) - 1),
+                                       i -> array_to_string(list_slice(w, i, i + 2), ' '))
+                   ELSE [array_to_string(w, ' ')] END) AS shingles
+        FROM words),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM shingled),
+    exploded AS (SELECT doc_id, n, unnest(shingles) AS shingle FROM sized),
+    pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b, l.n AS na, r.n AS nb, COUNT(*) AS common
+        FROM exploded l JOIN exploded r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        GROUP BY 1, 2, 3, 4)
+    SELECT a, b, ROUND(common * 1.0 / (na + nb - common), 6) AS jaccard
+    FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (shingle self-join)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@register("dedup_minhash_lsh", None)  # hash fns not portable to DuckDB
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (shingle->minhash->band->bucket-join).
+    Verified against ngram_jaccard in tests; rows-only here."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@register("dedup_simhash", None)  # xxhash64 not portable to DuckDB
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (banded hamming blocking)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, max_hamming=6)
+
+
+@register("ann_cosine_topk", """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 5),
+    corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               list_sum(list_transform(range(1, len(c.vec) + 1),
+                        i -> c.vec[i] * CAST(q.qvec[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.vec, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+        FROM corpus c, q WHERE c.vec_id <> q.query_id),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored)
+    SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+""")
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k baseline (exact, broadcast queries)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.brute_force_topk(emb, q, k=10)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register("ann_lsh_topk", None)  # approximate path; recall checked in tests
+def ann_lsh_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    # wide-recall config: 16 buckets x 8 tables (random embeddings have
+    # weak neighbourhood structure, so candidate sets must stay broad)
+    return similarity.lsh_topk(emb, q, k=10, n_planes=4, tables=8, dim=dim)
+
+
+@register("text_token_count", r"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+                ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                END AS BIGINT) AS n_tokens
+    FROM documents
+""")
+def text_token_count(spark, sf_dir):
+    """Token counting (whitespace tokenizer), JVM-side."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.token_count(docs).select("doc_id", "n_tokens")
+
+
+@register("text_quality_scores", r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks,
+               CAST(length(text) AS DOUBLE) AS n_chars
+        FROM documents)
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND((n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 / greatest(n_chars, 1.0), 6) AS digit_ratio
+    FROM t
+""")
+def text_quality_scores(spark, sf_dir):
+    """Quality scoring signals (subset with exact cross-engine parity)."""
+    docs = _read(spark, sf_dir, "documents")
+    q = textstats.quality_scores(docs)
+    return q.select("doc_id", "n_chars", "n_tokens", "digit_ratio")
+
+
+@register("text_language_id", None)  # heuristic profile tables live Spark-side
+def text_language_id(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.language_id(docs)
+
+
+@register("text_fingerprints", None)  # xxhash64 not portable to DuckDB
+def text_fingerprints(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.fingerprints(docs)
+
+
+# ───────────────────── transcripts pipeline (rows-only) ─────────────
+
+def _pipeline_outputs(spark, sf_dir):
+    sf = sf_from_dir(sf_dir)
+    n_convs = min(n_convs_for_sf(sf), 2_000)  # cap correctness-run size
+    transcripts = transcripts_sdf(spark, n_convs)
+    return run_pipeline(transcripts)
+
+
+@register("transcripts_turns", None)
+def transcripts_turns(spark, sf_dir):
+    """Flagship: per-turn main-content extraction (clean_text + spans).
+    Value equality vs the reference-semantics oracle is gated by
+    tests/test_pipeline_e2e.py."""
+    out = _pipeline_outputs(spark, sf_dir)["turns"]
+    return out.select("conv_id", "turn_idx", "extraction_path", "clean_text",
+                      "segment_index", "n_lines", "n_tokens")
+
+
+@register("transcripts_records", None)
+def transcripts_records(spark, sf_dir):
+    return _pipeline_outputs(spark, sf_dir)["records"]
+
+
+@register("transcripts_conversations", None)
+def transcripts_conversations(spark, sf_dir):
+    return _pipeline_outputs(spark, sf_dir)["conversations"]
+
+
+@register("transcripts_segments", None)
+def transcripts_segments(spark, sf_dir):
+    return _pipeline_outputs(spark, sf_dir)["segments"]
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None}

@@ -110,7 +110,10 @@ def _money(v_pennies: int) -> str:
 def conversation_payload(conv_index: int, seed: int = SEED) -> list[dict]:
     """All turns for one conversation, deterministic in (seed, index)."""
     rng = random.Random((seed << 20) ^ conv_index)
-    n_turns = min(MAX_TURNS, max(1, int(4.5 * (rng.random() ** -0.85))))
+    # Zipf-ish turn counts (heavy tail capped at 200) so grouped-stage
+    # skew is exercised; calibrated to ~30 turns/conv mean -> ~600k
+    # turns at sf0.1 (FIXTURES.md §6)
+    n_turns = min(MAX_TURNS, max(1, int(9.0 * (rng.random() ** -0.8))))
 
     kind_draw = rng.random()
     if kind_draw < 0.10:

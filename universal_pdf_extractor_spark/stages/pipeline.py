@@ -35,10 +35,19 @@ from .segment import segment_stage
 from .tokenize import tokenize_stage
 
 
-def run_pipeline(transcripts: DataFrame) -> dict[str, DataFrame]:
-    """Assemble all output tables (lazily)."""
+def run_pipeline(transcripts: DataFrame, persist: bool = False) -> dict[str, DataFrame]:
+    """Assemble all output tables (lazily).
+
+    persist=True caches the post-segmentation frame (the single
+    conv_id exchange) so forcing all four outputs does not recompute
+    tokenize+window per sink; callers unpersist via the returned
+    frame's ``.unpersist()`` (exposed as key "_turns_seg").
+    """
     turns = tokenize_stage(transcripts)
     turns_seg = segment_stage(turns)
+    if persist:
+        from pyspark import StorageLevel
+        turns_seg = turns_seg.persist(StorageLevel.MEMORY_AND_DISK)
 
     records_stage = extract_stage(turns_seg)
     records = records_stage.drop("segment_opening_balance", "segment_closing_balance")
@@ -56,9 +65,12 @@ def run_pipeline(transcripts: DataFrame) -> dict[str, DataFrame]:
         "n_lines", "n_tokens", "segment_index",
         "boundary_score", "is_boundary", "boundary_confidence",
     )
-    return {
+    out = {
         "turns": turns_out,
         "records": records,
         "segments": segments,
         "conversations": conversations,
     }
+    if persist:
+        out["_turns_seg"] = turns_seg
+    return out
