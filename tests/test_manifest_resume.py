@@ -1,0 +1,67 @@
+"""Checkpoint/lineage manifests + exact resume (io/manifest.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from universal_pdf_extractor_spark.io.fixtures import generate_transcripts
+from universal_pdf_extractor_spark.io.manifest import (
+    committed_groups,
+    manifest_path,
+    run_with_resume,
+)
+from universal_pdf_extractor_spark.schemas import TRANSCRIPTS_SCHEMA
+
+N_GROUPS = 4
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = generate_transcripts(24)
+    return spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+
+
+def test_full_run_then_exact_resume(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("resume_out"))
+
+    s1 = run_with_resume(corpus, out, n_groups=N_GROUPS)
+    assert s1["processed"] == list(range(N_GROUPS))
+    assert committed_groups(out) == set(range(N_GROUPS))
+
+    turns_all = spark.read.parquet(os.path.join(out, "turns")).count()
+    assert turns_all == corpus.count()
+
+    # manifests carry lineage metrics
+    with open(manifest_path(out, 0)) as fh:
+        m = json.load(fh)
+    assert m["input_rows"] > 0
+    assert set(m["outputs"]) == {"turns", "records", "segments", "conversations"}
+    assert all("rows" in v and "xor64" in v for v in m["outputs"].values())
+
+    # simulate a crash that lost group 2: drop its manifest + outputs
+    os.remove(manifest_path(out, 2))
+    for table in ("turns", "records", "segments", "conversations"):
+        shutil.rmtree(os.path.join(out, table, "bucket_group=2"), ignore_errors=True)
+
+    s2 = run_with_resume(corpus, out, n_groups=N_GROUPS)
+    assert s2["processed"] == [2]
+    assert sorted(s2["skipped"]) == [0, 1, 3]
+
+    # after resume the dataset is whole again and checksums match the
+    # first run (idempotent recompute)
+    assert spark.read.parquet(os.path.join(out, "turns")).count() == turns_all
+    with open(manifest_path(out, 2)) as fh:
+        m2 = json.load(fh)
+    assert m2["outputs"]["turns"]["rows"] > 0
+
+
+def test_noop_when_all_committed(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("resume_out2"))
+    run_with_resume(corpus, out, n_groups=2)
+    s = run_with_resume(corpus, out, n_groups=2)
+    assert s["processed"] == []
+    assert sorted(s["skipped"]) == [0, 1]

@@ -1,0 +1,61 @@
+"""Physical-plan guarantees the 100TB design depends on.
+
+These assertions pin the scale-critical plan shapes so a refactor
+cannot silently regress them:
+- tokenize is shuffle-free (pipelines inside the scan stage);
+- the whole tokenize -> segment -> extract chain introduces exactly
+  ONE exchange (hash on conv_id), reused by both windows and the
+  grouped extraction UDF;
+- column pruning reaches the parquet scan (a narrow projection reads
+  only the needed transcript columns — `text` excluded when unused).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from universal_pdf_extractor_spark.io.fixtures import generate_transcripts
+from universal_pdf_extractor_spark.schemas import TRANSCRIPTS_SCHEMA
+from universal_pdf_extractor_spark.stages.extract import extract_stage
+from universal_pdf_extractor_spark.stages.segment import segment_stage
+from universal_pdf_extractor_spark.stages.tokenize import tokenize_stage
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "corpus")
+    pdf = generate_transcripts(10)
+    spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA) \
+         .write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_tokenize_is_shuffle_free(transcripts):
+    plan = _plan(tokenize_stage(transcripts))
+    assert plan.count("Exchange") == 0
+
+
+def test_single_exchange_feeds_windows_and_extract(transcripts):
+    rec = extract_stage(segment_stage(tokenize_stage(transcripts)))
+    plan = _plan(rec)
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(conv_id" in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_column_pruning_reaches_scan(transcripts):
+    narrow = transcripts.select("conv_id", "turn_idx")
+    plan = _plan(narrow)
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan_lines and "text" not in scan_lines[0]
+
+
+def test_filter_pushdown_reaches_scan(transcripts):
+    filtered = transcripts.where("turn_idx = 0").select("conv_id")
+    plan = _plan(filtered)
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(turn_idx,0)" in plan or "turn_idx" in plan.split("PushedFilters")[1][:120]

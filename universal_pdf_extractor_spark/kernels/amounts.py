@@ -108,6 +108,9 @@ def parse_amount(raw: str) -> AmountParse:
     return AmountParse(amount, is_negative, sign_convention, confidence)
 
 
+_PLAIN_NUMBER_RE = re.compile(r"\d+(\.\d*)?")
+
+
 def is_amount_like(text: str) -> bool:
     """Cheap predicate: does the text parse as money after stripping?"""
     if text is None:
@@ -115,6 +118,10 @@ def is_amount_like(text: str) -> bool:
     t = text.strip()
     if not t:
         return False
+    # fast accept: a bare decimal number (the overwhelmingly common
+    # case) parses without the Decimal try/except round trip
+    if _PLAIN_NUMBER_RE.fullmatch(t):
+        return True
     cleaned = t.replace(_POUND, "").replace("GBP", "").replace(",", "").strip()
     cleaned = re.sub(r"\s*(DR|CR|D|C)$", "", cleaned, flags=re.IGNORECASE).strip()
     if cleaned.startswith("(") and cleaned.endswith(")"):

@@ -53,6 +53,14 @@ DOCUMENT_WEIGHTS = {
 
 _MF_RES = [re.compile(p, re.IGNORECASE) for p in MOTOR_FINANCE_KEYWORDS]
 _BS_RES = [re.compile(p, re.IGNORECASE) for p in BANK_STATEMENT_KEYWORDS]
+_PROVIDER_RES = {name: [re.compile(p, re.IGNORECASE) for p in pats]
+                 for name, pats in PROVIDER_PATTERNS.items()}
+_SEG_RES = {
+    "period": [re.compile(p, re.IGNORECASE) for p in STATEMENT_PERIOD_PATTERNS],
+    "opening": [re.compile(p, re.IGNORECASE) for p in OPENING_BALANCE_PATTERNS],
+    "account": [re.compile(p, re.IGNORECASE) for p in ACCOUNT_HEADER_PATTERNS],
+    "page": [re.compile(p, re.IGNORECASE) for p in PAGE_NUMBER_PATTERNS],
+}
 
 
 def classify_document(page_texts: list[str]) -> dict:
@@ -74,9 +82,8 @@ def detect_provider(page_texts: list[str]) -> dict:
     combined_text = " ".join(page_texts[:PROVIDER_SCAN_PAGES]).lower()
     best_match: Optional[str] = None
     best_score = 0.0
-    for provider, patterns in PROVIDER_PATTERNS.items():
-        match_count = sum(1 for p in patterns
-                          if re.search(p, combined_text, re.IGNORECASE))
+    for provider, patterns in _PROVIDER_RES.items():
+        match_count = sum(1 for p in patterns if p.search(combined_text))
         if match_count > 0:
             score = min(match_count * PROVIDER_MATCH_WEIGHT, 1.0)
             if score > best_score:
@@ -89,16 +96,16 @@ def boundary_score(top_text: str) -> tuple[float, list[str]]:
     """Segment-boundary score for one page's top-15% text."""
     score = 0.0
     signals = []
-    if any(re.search(p, top_text, re.IGNORECASE) for p in STATEMENT_PERIOD_PATTERNS):
+    if any(p.search(top_text) for p in _SEG_RES["period"]):
         score += 1.0
         signals.append("STATEMENT_PERIOD_TEXT")
-    if any(re.search(p, top_text, re.IGNORECASE) for p in OPENING_BALANCE_PATTERNS):
+    if any(p.search(top_text) for p in _SEG_RES["opening"]):
         score += 1.0
         signals.append("OPENING_BALANCE_TEXT")
-    if any(re.search(p, top_text, re.IGNORECASE) for p in ACCOUNT_HEADER_PATTERNS):
+    if any(p.search(top_text) for p in _SEG_RES["account"]):
         score += 1.0
         signals.append("ACCOUNT_HEADER_REPEAT")
-    if any(re.search(p, top_text, re.IGNORECASE) for p in PAGE_NUMBER_PATTERNS):
+    if any(p.search(top_text) for p in _SEG_RES["page"]):
         score += 0.4
         signals.append("PAGE_NUMBER_RESET")
     return score, signals

@@ -79,14 +79,34 @@ def assign_token_to_column(token: dict, columns: list[dict]) -> int:
     return columns[distances.index(min(distances))]["column_index"]
 
 
-def assign_line_to_cells(line: dict, columns: list[dict]) -> list[dict]:
+def make_column_assigner(columns: list[dict]):
+    """Memoized token->column lookup for one fixed column layout.
+
+    Fixed-width statement layouts repeat token x-spans across rows, so
+    the (x0, x1) -> column mapping hits the cache almost always."""
+    cache: dict[tuple, int] = {}
+
+    def assign(token: dict) -> int:
+        key = (token["x0"], token["x1"])
+        col = cache.get(key)
+        if col is None:
+            col = assign_token_to_column(token, columns)
+            cache[key] = col
+        return col
+
+    return assign
+
+
+def assign_line_to_cells(line: dict, columns: list[dict], assigner=None) -> list[dict]:
     """Group a line's tokens into per-column cells.
 
     Cell: {text, column_index, x0, y0, x1, y1, confidence}.
     """
+    if assigner is None:
+        assigner = lambda t: assign_token_to_column(t, columns)  # noqa: E731
     cell_tokens: dict[int, list[dict]] = {}
     for token in line["tokens"]:
-        cell_tokens.setdefault(assign_token_to_column(token, columns), []).append(token)
+        cell_tokens.setdefault(assigner(token), []).append(token)
 
     cells = []
     for col_idx in sorted(cell_tokens):

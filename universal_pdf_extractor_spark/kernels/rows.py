@@ -35,10 +35,21 @@ def _is_continuation(prev_line: dict, curr_line: dict) -> bool:
     return gap <= typical_height * CONTINUATION_HEIGHT_RATIO
 
 
+def precompute_cells(lines: list[dict], columns: list[dict]) -> list[list[dict]]:
+    """Cell assignment for every line, via one memoized column assigner.
+
+    The assignment depends only on (line tokens, columns), so the
+    preliminary and final row passes share this result."""
+    from .columns import make_column_assigner
+    assigner = make_column_assigner(columns)
+    return [assign_line_to_cells(ln, columns, assigner) for ln in lines]
+
+
 def reconstruct_rows(lines: list[dict],
                      columns: list[dict],
                      date_column_index: int = 0,
-                     amount_column_indices: Optional[list[int]] = None) -> list[dict]:
+                     amount_column_indices: Optional[list[int]] = None,
+                     cells_per_line: Optional[list[list[dict]]] = None) -> list[dict]:
     """Merge lines into transaction rows (sequential per segment).
 
     Row: {line_indices, cells, is_balance_marker, raw_text}.
@@ -50,17 +61,22 @@ def reconstruct_rows(lines: list[dict],
         amount_column_indices = [c["column_index"] for c in columns if c["column_index"] > 0]
     amount_cols = set(amount_column_indices)
 
+    if cells_per_line is None:
+        cells_per_line = precompute_cells(lines, columns)
+
     rows: list[dict] = []
     current: Optional[dict] = None
 
     for i, line in enumerate(lines):
-        cells = assign_line_to_cells(line, columns)
+        cells = cells_per_line[i]
 
         if is_balance_marker(line["text"]):
             if current:
                 rows.append(current)
                 current = None
-            rows.append({"line_indices": [i], "cells": cells,
+            # copy: row cells are mutated by merges and must not alias
+            # the shared precomputed per-line lists
+            rows.append({"line_indices": [i], "cells": list(cells),
                          "is_balance_marker": True, "raw_text": line["text"]})
             continue
 
@@ -72,7 +88,7 @@ def reconstruct_rows(lines: list[dict],
         if has_date:
             if current:
                 rows.append(current)
-            current = {"line_indices": [i], "cells": cells,
+            current = {"line_indices": [i], "cells": list(cells),
                        "is_balance_marker": False, "raw_text": line["text"]}
         elif has_amount and current:
             current["line_indices"].append(i)

@@ -36,6 +36,7 @@ from .rows import (
     detect_header_line,
     extract_fields_from_row,
     extract_header_texts,
+    precompute_cells,
     reconstruct_rows,
 )
 from .semantic import AMOUNT_ROLES, ROLE_BALANCE, ROLE_DATE, assign_column_roles
@@ -86,10 +87,12 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
         header_texts = extract_header_texts(lines[header_idx], columns)
         lines = lines[header_idx + 1:]
 
+    cells_per_line = precompute_cells(lines, columns)
     preliminary_rows = reconstruct_rows(
         lines, columns,
         date_column_index=0,
         amount_column_indices=[c["column_index"] for c in columns if c["column_index"] > 0],
+        cells_per_line=cells_per_line,
     )
     roles = assign_column_roles(columns, header_texts, preliminary_rows)
 
@@ -101,7 +104,8 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
         # exists for transcript turns, so the segment yields nothing.
         return empty
 
-    rows = reconstruct_rows(lines, columns, date_col, amount_cols)
+    rows = reconstruct_rows(lines, columns, date_col, amount_cols,
+                            cells_per_line=cells_per_line)
     transaction_rows = [r for r in rows if not r["is_balance_marker"]]
     if not transaction_rows:
         return empty

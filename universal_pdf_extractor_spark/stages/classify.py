@@ -90,8 +90,10 @@ def conversation_text(turns: DataFrame) -> DataFrame:
 
 def classify_stage(turns: DataFrame) -> DataFrame:
     """turns -> one row per conversation with family/provider/customer."""
-    conv = conversation_text(turns)
-    lowered = F.lower(F.col("conv_text"))
+    # materialize the lowered text once: ~70 rlike probes reference it,
+    # and Catalyst does not CSE lower() across all of them
+    conv = conversation_text(turns).withColumn("_lowered", F.lower(F.col("conv_text")))
+    lowered = F.col("_lowered")
 
     mf = _keyword_score(lowered, MOTOR_FINANCE_KEYWORDS, MOTOR_FINANCE_WEIGHT)
     bs = _keyword_score(lowered, BANK_STATEMENT_KEYWORDS, BANK_STATEMENT_WEIGHT)
