@@ -301,6 +301,126 @@ def date_like_flags(spark, sf_dir):
     )
 
 
+@register("first_last_window", """
+    SELECT user_id,
+           MIN(first_v) AS opening_value, MIN(last_v) AS closing_value
+    FROM (
+        SELECT user_id,
+               FIRST_VALUE(CAST(value AS DECIMAL(18,6))) OVER w AS first_v,
+               LAST_VALUE(CAST(value AS DECIMAL(18,6))) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+    GROUP BY user_id
+""")
+def first_last_window(spark, sf_dir):
+    """W7 mapping: opening/closing picks = first/last over a window
+    (the reference scans first/last balance-marker rows)."""
+    ev = _read(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    v = F.col("value").cast("decimal(18,6)")
+    return (ev.select("user_id",
+                      F.first(v).over(w).alias("first_v"),
+                      F.last(v).over(w).alias("last_v"))
+            .groupBy("user_id")
+            .agg(F.min("first_v").alias("opening_value"),
+                 F.min("last_v").alias("closing_value")))
+
+
+@register("signed_direction_case2", """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN (l_orderkey + l_linenumber) % 3 = 1 THEN 'DEBIT'
+                WHEN CAST(l_extendedprice AS DECIMAL(15,2)) = 0 THEN 'UNKNOWN'
+                ELSE 'CREDIT' END AS direction
+    FROM lineitem
+""")
+def signed_direction_case2(spark, sf_dir):
+    """W3 (solver case 2) mapping: sign-convention parse -> direction.
+    Strings are rendered with parens/DR negatives by row parity; the
+    kernel's _parse_signed_amount port decides the direction."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    from .kernels.solver import parse_signed_amount
+
+    @pandas_udf(StringType())
+    def direction_of(raw: pd.Series) -> pd.Series:
+        def solve(s):
+            parsed = parse_signed_amount(s)
+            if parsed is None:
+                return "UNKNOWN"
+            amount, _src = parsed
+            if amount < 0:
+                return "DEBIT"
+            if amount > 0:
+                return "CREDIT"
+            return "UNKNOWN"
+        return raw.map(solve)
+
+    li = _read(spark, sf_dir, "lineitem")
+    base = F.format_number(F.col("l_extendedprice").cast("decimal(15,2)"), 2)
+    styled = F.when((F.col("l_orderkey") + F.col("l_linenumber")) % 3 == 1,
+                    F.when((F.col("l_orderkey")) % 2 == 0,
+                           F.concat(F.lit("("), base, F.lit(")")))
+                     .otherwise(F.concat(base, F.lit(" DR")))) \
+              .otherwise(base)
+    return li.select("l_orderkey", "l_linenumber",
+                     direction_of(styled).alias("direction"))
+
+
+@register("fingerprint_template_match", r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tokens
+        FROM documents),
+    templates AS (
+        SELECT source AS template_source, tokens AS template_tokens
+        FROM (SELECT source, tokens,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM toks) WHERE rn = 1),
+    scored AS (
+        SELECT t.doc_id, tp.template_source,
+               len(list_intersect(t.tokens, tp.template_tokens)) AS inter_size,
+               len(t.tokens) + len(tp.template_tokens)
+                 - len(list_intersect(t.tokens, tp.template_tokens)) AS union_size
+        FROM toks t, templates tp)
+    SELECT doc_id, template_source,
+           ROUND(0.3 + 0.7 * (inter_size * 1.0 / union_size), 6) AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY inter_size * 1.0 / union_size DESC, template_source ASC) AS rn
+          FROM scored) WHERE rn = 1
+      AND 0.3 + 0.7 * (inter_size * 1.0 / union_size) >= 0.5
+""")
+def fingerprint_template_match(spark, sf_dir):
+    """C7 mapping (api/fingerprints.py:287-357): Jaccard of token sets
+    against a broadcast template dimension, score = 0.3 + 0.7*jaccard,
+    accept at >= 0.5, best template per document."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.array_distinct(F.split(
+            F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")).alias("tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    templates = (toks.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+                 .select(F.col("source").alias("template_source"),
+                         F.col("tokens").alias("template_tokens")))
+    inter = F.size(F.array_intersect("tokens", "template_tokens"))
+    union = F.size("tokens") + F.size("template_tokens") - inter
+    scored = (toks.crossJoin(F.broadcast(templates))
+              .withColumn("inter_size", inter)
+              .withColumn("union_size", union)
+              .withColumn("jac", F.col("inter_size") * 1.0 / F.col("union_size")))
+    wbest = Window.partitionBy("doc_id").orderBy(F.desc("jac"), F.asc("template_source"))
+    return (scored.withColumn("rn", F.row_number().over(wbest)).where("rn = 1")
+            .withColumn("score", F.round(0.3 + 0.7 * F.col("jac"), 6))
+            .where(0.3 + 0.7 * F.col("jac") >= 0.5)
+            .select("doc_id", "template_source", "score"))
+
+
 # ───────────────────── training-data pipeline operators ─────────────
 
 @register("dedup_exact_groups", """
