@@ -39,6 +39,7 @@ from ..kernels.patterns import (
     MOTOR_FINANCE_KEYWORDS,
     PROVIDER_PATTERNS,
     _noncapturing,
+    pattern_literal,
 )
 
 _CUSTOMER_TYPE = StructType([
@@ -54,11 +55,25 @@ def _customer_udf(conv_text: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, index=conv_text.index)
 
 
+def _guarded_match(text_col: Column, pattern: str) -> Column:
+    """rlike guarded by a cheap mandatory-literal contains() prefilter.
+
+    Semantically identical to a bare rlike: the literal is required by
+    every alternative of the pattern, so contains()==false implies the
+    regex cannot match; contains() is a fast JVM indexOf over text the
+    regex engine would otherwise scan position-by-position."""
+    lit = pattern_literal(pattern)
+    probe = text_col.rlike(_noncapturing(pattern))
+    if lit is None:
+        return probe
+    return text_col.contains(lit) & probe
+
+
 def _keyword_score(text_col: Column, patterns: list[str], weight: float) -> Column:
     """Chained weighted additions in pattern order, capped at 1.0."""
     score = F.lit(0.0)
     for p in patterns:
-        score = score + F.when(text_col.rlike(_noncapturing(p)), F.lit(weight)).otherwise(F.lit(0.0))
+        score = score + F.when(_guarded_match(text_col, p), F.lit(weight)).otherwise(F.lit(0.0))
     return F.least(score, F.lit(1.0))
 
 
@@ -67,7 +82,7 @@ def _provider_best(text_col: Column) -> Column:
     candidates = []
     for order, (provider, patterns) in enumerate(PROVIDER_PATTERNS.items()):
         matches = sum(
-            (F.when(text_col.rlike(_noncapturing(p)), F.lit(1)).otherwise(F.lit(0))
+            (F.when(_guarded_match(text_col, p), F.lit(1)).otherwise(F.lit(0))
              for p in patterns),
             start=F.lit(0),
         )
@@ -122,7 +137,11 @@ def classify_stage(turns: DataFrame) -> DataFrame:
         F.when(F.col("_best.score") > 0, F.col("_best.score")),
     )
 
-    conv = conv.withColumn("_cust", _customer_udf(F.col("conv_text")))
+    # customer info only reads the first 50 lines (orchestrator.py:94-99);
+    # slice JVM-side so the UDF ships ~2KB per conversation, not the
+    # whole text — the kernel re-slices identically, so parity holds
+    head_text = F.array_join(F.slice(F.split(F.col("conv_text"), "\n"), 1, 50), "\n")
+    conv = conv.withColumn("_cust", _customer_udf(head_text))
     return conv.select(
         "conv_id", "n_turns", "doc_family", "doc_family_confidence",
         "provider", "provider_confidence",
