@@ -519,6 +519,35 @@ def ann_cosine_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register("dedup_embedding_cosine", """
+    WITH corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings WHERE vec_id < 200),
+    pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               list_sum(list_transform(range(1, len(a.vec) + 1),
+                        i -> a.vec[i] * b.vec[i]))
+               / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.vec, x -> x * x)))) AS cosine
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+    SELECT a, b, ROUND(cosine, 6) AS cosine
+    FROM pairs WHERE cosine >= 0.5
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact threshold join on a
+    bounded slice; the LSH variant is the scale path)."""
+    from .datapipe.similarity import cosine_col
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    corpus = emb.select(F.col("vec_id").alias("a"),
+                        F.col("embedding").cast("array<double>").alias("va"))
+    other = emb.select(F.col("vec_id").alias("b"),
+                       F.col("embedding").cast("array<double>").alias("vb"))
+    return (corpus.join(other, F.col("a") < F.col("b"))
+            .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+            .where(F.col("cosine") >= 0.5)
+            .select("a", "b", F.round("cosine", 6).alias("cosine")))
+
+
 @register("ann_lsh_topk", None)  # approximate path; recall checked in tests
 def ann_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")

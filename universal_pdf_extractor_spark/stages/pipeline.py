@@ -62,7 +62,7 @@ def run_pipeline(transcripts: DataFrame, persist: bool = False) -> dict[str, Dat
     turns_out = turns_seg.select(
         "conv_id", "turn_idx", "role", "ts", "extraction_path",
         "raw_text", "clean_text", "spans", "top_text",
-        "n_lines", "n_tokens", "segment_index",
+        "n_lines", "n_tokens", "mean_token_confidence", "segment_index",
         "boundary_score", "is_boundary", "boundary_confidence",
     )
     out = {

@@ -73,4 +73,10 @@ def tokenize_stage(transcripts: DataFrame) -> DataFrame:
         F.col("view.spans").alias("spans"),
         F.col("view.n_lines").alias("n_lines"),
         F.col("view.n_tokens").alias("n_tokens"),
+        # PageMetrics analogue (contracts.py:67-80): text-path tokens
+        # carry fixed 0.95 confidence (pdfplumber_engine.py:125,154),
+        # and the 50-token quick sample (tesseract_engine.py:195-212)
+        # therefore equals the page mean on this corpus
+        F.when(F.col("view.n_tokens") > 0, F.lit(0.95)).otherwise(F.lit(0.0))
+         .alias("mean_token_confidence"),
     )
