@@ -54,7 +54,6 @@ def test_turns_equality(outputs, oracle):
             e = exp[row.turn_idx]
             assert row.clean_text == e["clean_text"], (conv_id, row.turn_idx)
             assert row.raw_text == e["raw_text"], (conv_id, row.turn_idx)
-            assert row.top_text == e["top_text"], (conv_id, row.turn_idx)
             got_spans = [(s["field"], s["start"], s["end"]) for s in row.spans]
             exp_spans = [(s["field"], s["start"], s["end"]) for s in e["spans"]]
             assert got_spans == exp_spans, (conv_id, row.turn_idx)

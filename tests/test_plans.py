@@ -54,6 +54,20 @@ def test_column_pruning_reaches_scan(transcripts):
     assert scan_lines and "text" not in scan_lines[0]
 
 
+def test_split_segments_grouping_is_equivalent(transcripts):
+    """Skew escape hatch: (conv_id, segment_index) grouping must yield
+    byte-identical records to conv_id grouping."""
+    seg = segment_stage(tokenize_stage(transcripts))
+    a = extract_stage(seg, split_segments=False).toPandas() \
+        .sort_values(["conv_id", "segment_index", "row_index"]).reset_index(drop=True)
+    b = extract_stage(seg, split_segments=True).toPandas() \
+        .sort_values(["conv_id", "segment_index", "row_index"]).reset_index(drop=True)
+    assert a.equals(b)
+    # and the split variant pays exactly one extra exchange
+    plan = _plan(extract_stage(seg, split_segments=True))
+    assert plan.count("Exchange") == 2
+
+
 def test_filter_pushdown_reaches_scan(transcripts):
     filtered = transcripts.where("turn_idx = 0").select("conv_id")
     plan = _plan(filtered)

@@ -106,10 +106,27 @@ def _extract_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out_rows, columns=_COLUMNS)
 
 
-def extract_stage(turns_seg: DataFrame) -> DataFrame:
+def extract_stage(turns_seg: DataFrame, split_segments: bool = False) -> DataFrame:
     """turns(+segment_index) -> extracted records (one row per
-    reconstructed transaction row)."""
+    reconstructed transaction row).
+
+    split_segments=False groups by conv_id alone, reusing the segment
+    stage's exchange (zero extra shuffles; right when conversation
+    sizes are bounded).  split_segments=True regroups by
+    (conv_id, segment_index): one extra shuffle, but giant documents
+    split at their statement boundaries — the skew escape hatch for
+    corpora with unbounded conversations.  Results are identical
+    because analysis state never crosses a segment boundary.
+    """
     slim = turns_seg.select("conv_id", "turn_idx", "segment_index", "payload")
+    if split_segments:
+        # explicit repartition: ClusteredDistribution(conv_id, seg) is
+        # otherwise satisfied by the upstream conv_id partitioning, so
+        # without this the "split" would silently keep whole
+        # conversations co-located
+        slim = slim.repartition("conv_id", "segment_index")
+        return slim.groupBy("conv_id", "segment_index").applyInPandas(
+            _extract_conversation, schema=RECORDS_STAGE_SCHEMA)
     return slim.groupBy("conv_id").applyInPandas(
         _extract_conversation, schema=RECORDS_STAGE_SCHEMA)
 

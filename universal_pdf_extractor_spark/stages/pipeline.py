@@ -35,7 +35,8 @@ from .segment import segment_stage
 from .tokenize import tokenize_stage
 
 
-def run_pipeline(transcripts: DataFrame, persist: bool = False) -> dict[str, DataFrame]:
+def run_pipeline(transcripts: DataFrame, persist: bool = False,
+                 split_segments: bool = False) -> dict[str, DataFrame]:
     """Assemble all output tables (lazily).
 
     persist=True caches the post-segmentation frame (the single
@@ -49,7 +50,7 @@ def run_pipeline(transcripts: DataFrame, persist: bool = False) -> dict[str, Dat
         from pyspark import StorageLevel
         turns_seg = turns_seg.persist(StorageLevel.MEMORY_AND_DISK)
 
-    records_stage = extract_stage(turns_seg)
+    records_stage = extract_stage(turns_seg, split_segments=split_segments)
     records = records_stage.drop("segment_opening_balance", "segment_closing_balance")
     segments = segments_table(turns_seg, records_stage)
 
@@ -59,9 +60,11 @@ def run_pipeline(transcripts: DataFrame, persist: bool = False) -> dict[str, Dat
     conversations = conversations_table(conv_meta, records_stage).join(
         n_segments, "conv_id", "left")
 
+    # top_text is segmentation-internal: exclude it from the persisted
+    # per-turn surface (FIXTURES.md §4 shape + diagnostics)
     turns_out = turns_seg.select(
         "conv_id", "turn_idx", "role", "ts", "extraction_path",
-        "raw_text", "clean_text", "spans", "top_text",
+        "raw_text", "clean_text", "spans",
         "n_lines", "n_tokens", "mean_token_confidence", "segment_index",
         "boundary_score", "is_boundary", "boundary_confidence",
     )
