@@ -92,10 +92,11 @@ def main() -> None:
     # ── headline: full pipeline, all outputs written ──
     t0 = time.perf_counter()
     outputs = run_pipeline(transcripts, persist=True)
-    turns_seg = outputs.pop("_turns_seg")
+    cached = [outputs.pop(k) for k in list(outputs) if k.startswith("_")]
     for name, df in outputs.items():
         df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
-    turns_seg.unpersist()
+    for c in cached:
+        c.unpersist()
     pipeline_sec = time.perf_counter() - t0
 
     # ── per-query timings on the driver-provided tables ──

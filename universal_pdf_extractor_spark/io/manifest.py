@@ -92,7 +92,7 @@ def run_with_resume(transcripts: DataFrame,
         t0 = time.perf_counter()
         part = bucketed.where(F.col("_grp") == g).drop("_grp")
         outputs = run_pipeline_fn(part, persist=True)
-        cached = outputs.pop("_turns_seg", None)
+        cached = [outputs.pop(k) for k in list(outputs) if k.startswith("_")]
         input_rows = part.count()
         meta: dict = {"group": g, "input_rows": input_rows, "outputs": {}}
         for name in tables:
@@ -103,8 +103,8 @@ def run_with_resume(transcripts: DataFrame,
             if with_checksums:
                 entry["xor64"] = checksum(df.sparkSession.read.parquet(path))
             meta["outputs"][name] = entry
-        if cached is not None:
-            cached.unpersist()
+        for c in cached:
+            c.unpersist()
         meta["duration_sec"] = round(time.perf_counter() - t0, 3)
         commit_manifest(out_dir, g, meta)
         summary["processed"].append(g)

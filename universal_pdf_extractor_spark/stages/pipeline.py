@@ -51,6 +51,12 @@ def run_pipeline(transcripts: DataFrame, persist: bool = False,
         turns_seg = turns_seg.persist(StorageLevel.MEMORY_AND_DISK)
 
     records_stage = extract_stage(turns_seg, split_segments=split_segments)
+    if persist:
+        # segments and conversations both aggregate the records frame;
+        # without this the extraction UDF (the most expensive stage)
+        # would execute once per consumer
+        from pyspark import StorageLevel
+        records_stage = records_stage.persist(StorageLevel.MEMORY_AND_DISK)
     records = records_stage.drop("segment_opening_balance", "segment_closing_balance")
     segments = segments_table(turns_seg, records_stage)
 
@@ -76,4 +82,5 @@ def run_pipeline(transcripts: DataFrame, persist: bool = False,
     }
     if persist:
         out["_turns_seg"] = turns_seg
+        out["_records_stage"] = records_stage
     return out
