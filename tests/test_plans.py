@@ -44,7 +44,7 @@ def test_single_exchange_feeds_windows_and_extract(transcripts):
     plan = _plan(rec)
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(conv_id" in plan
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan  # streamed, not per-group, Python I/O
 
 
 def test_column_pruning_reaches_scan(transcripts):

@@ -74,6 +74,11 @@ def _extract_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("turn_idx")
     conv_id = pdf["conv_id"].iloc[0]
     out_rows: list[dict] = []
+    _analyse_into(pdf, conv_id, out_rows)
+    return pd.DataFrame(out_rows, columns=_COLUMNS)
+
+
+def _analyse_into(pdf: pd.DataFrame, conv_id: str, out_rows: list[dict]) -> None:
     for seg_idx, seg in pdf.groupby("segment_index", sort=True):
         lines: list[dict] = []
         for turn_idx, payload in zip(seg["turn_idx"], seg["payload"]):
@@ -103,32 +108,68 @@ def _extract_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
                 "segment_opening_balance": result["opening_balance"],
                 "segment_closing_balance": result["closing_balance"],
             })
-    return pd.DataFrame(out_rows, columns=_COLUMNS)
 
 
-def extract_stage(turns_seg: DataFrame, split_segments: bool = False) -> DataFrame:
+def _extract_stream(batches):
+    """Secondary-sort mapInPandas body: many conversations per Arrow
+    batch, with the partition's trailing (possibly incomplete)
+    conversation buffered across batch boundaries."""
+    leftover: pd.DataFrame | None = None
+    for pdf in batches:
+        if leftover is not None and len(leftover):
+            pdf = pd.concat([leftover, pdf], ignore_index=True)
+            leftover = None
+        if not len(pdf):
+            continue
+        last_conv = pdf["conv_id"].iloc[-1]
+        tail_mask = (pdf["conv_id"] == last_conv).to_numpy()
+        # conv_ids are contiguous in a sorted partition, so the tail
+        # mask is a suffix run; hold it back for the next batch
+        split_at = len(pdf) - int(tail_mask.sum())
+        complete, leftover = pdf.iloc[:split_at], pdf.iloc[split_at:]
+        if len(complete):
+            out_rows: list[dict] = []
+            for conv_id, grp in complete.groupby("conv_id", sort=False):
+                _analyse_into(grp, conv_id, out_rows)
+            yield pd.DataFrame(out_rows, columns=_COLUMNS)
+    if leftover is not None and len(leftover):
+        out_rows = []
+        for conv_id, grp in leftover.groupby("conv_id", sort=False):
+            _analyse_into(grp, conv_id, out_rows)
+        yield pd.DataFrame(out_rows, columns=_COLUMNS)
+
+
+def extract_stage(turns_seg: DataFrame, split_segments: bool = False,
+                  assume_layout: bool = True) -> DataFrame:
     """turns(+segment_index) -> extracted records (one row per
     reconstructed transaction row).
 
-    split_segments=False groups by conv_id alone, reusing the segment
-    stage's exchange (zero extra shuffles; right when conversation
-    sizes are bounded).  split_segments=True regroups by
-    (conv_id, segment_index): one extra shuffle, but giant documents
-    split at their statement boundaries — the skew escape hatch for
-    corpora with unbounded conversations.  Results are identical
-    because analysis state never crosses a segment boundary.
+    Default path: mapInPandas over the segment stage's output, which
+    the window has already hash-partitioned by conv_id AND sorted by
+    (conv_id, turn_idx) within partitions (WindowExec's required sort
+    covers partition keys then order keys).  That layout lets one
+    Arrow batch carry MANY whole conversations — versus
+    groupBy().applyInPandas, which pays one Python round trip per
+    conversation (tiny ~30-row batches dominated by overhead).  The
+    plan-shape test pins the no-extra-exchange property; the e2e
+    oracle test pins value equality.
+
+    split_segments=True is the skew escape hatch: explicit repartition
+    on (conv_id, segment_index) + applyInPandas so giant documents
+    split at statement boundaries.  Results identical — analysis state
+    never crosses a segment boundary.
     """
     slim = turns_seg.select("conv_id", "turn_idx", "segment_index", "payload")
     if split_segments:
-        # explicit repartition: ClusteredDistribution(conv_id, seg) is
-        # otherwise satisfied by the upstream conv_id partitioning, so
-        # without this the "split" would silently keep whole
-        # conversations co-located
         slim = slim.repartition("conv_id", "segment_index")
         return slim.groupBy("conv_id", "segment_index").applyInPandas(
             _extract_conversation, schema=RECORDS_STAGE_SCHEMA)
-    return slim.groupBy("conv_id").applyInPandas(
-        _extract_conversation, schema=RECORDS_STAGE_SCHEMA)
+    if not assume_layout:
+        # standalone use (input not produced by segment_stage in this
+        # plan): enforce co-location + contiguity explicitly
+        slim = slim.repartition("conv_id") \
+                   .sortWithinPartitions("conv_id", "turn_idx")
+    return slim.mapInPandas(_extract_stream, schema=RECORDS_STAGE_SCHEMA)
 
 
 def segments_table(turns_seg: DataFrame, records: DataFrame) -> DataFrame:
