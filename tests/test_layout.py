@@ -84,4 +84,6 @@ def test_batch_fast_path_matches_ir_route():
         view = turn_view(text)
         for key in ("raw_text", "top_text", "clean_text", "n_lines", "n_tokens"):
             assert batch.loc[i, key] == view[key], (i, key)
-        assert batch.loc[i, "spans"] == view["spans"], i
+        rebuilt = [{"field": "content", "start": a, "end": b}
+                   for a, b in zip(batch.loc[i, "span_starts"], batch.loc[i, "span_ends"])]
+        assert rebuilt == view["spans"], i

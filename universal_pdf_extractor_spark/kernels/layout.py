@@ -231,21 +231,21 @@ def turn_view_batch(texts: pd.Series) -> pd.DataFrame:
 
     kept = lf[lf["keep"]]
     clean_text = kept.groupby("row")["norm"].agg("\n".join)
-    spans = (
-        kept.assign(span=[
-            {"field": "content", "start": int(a), "end": int(b)}
-            for a, b in zip(kept["span_start"], kept["span_end"])
-        ])
-        .groupby("row")["span"].agg(list)
-    )
+    # spans ride as two parallel int arrays — the Arrow/cache-compact
+    # form; the output stage zips them into (field, start, end) structs
+    span_starts = kept.groupby("row")["span_start"].agg(list)
+    span_ends = kept.groupby("row")["span_end"].agg(list)
 
     idx = np.arange(n)
     out = pd.DataFrame(index=idx)
     out["raw_text"] = raw_text.reindex(idx, fill_value="")
     out["top_text"] = top_text.reindex(idx, fill_value="")
     out["clean_text"] = clean_text.reindex(idx, fill_value="")
-    out["spans"] = spans.reindex(idx)
-    out["spans"] = out["spans"].apply(lambda v: v if isinstance(v, list) else [])
+    out["span_starts"] = span_starts.reindex(idx)
+    out["span_ends"] = span_ends.reindex(idx)
+    for col in ("span_starts", "span_ends"):
+        out[col] = out[col].apply(
+            lambda v: [int(x) for x in v] if isinstance(v, list) else [])
     out["n_lines"] = n_lines.reindex(idx, fill_value=0).astype(np.int32)
     out["n_tokens"] = n_tokens.reindex(idx, fill_value=0).astype(np.int32)
     out.index = texts.index

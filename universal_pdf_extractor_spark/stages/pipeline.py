@@ -46,6 +46,9 @@ def run_pipeline(transcripts: DataFrame, persist: bool = False,
     """
     turns = tokenize_stage(transcripts)
     turns_seg = segment_stage(turns)
+    # top_text is only consumed by the boundary score above — keep the
+    # cached/downstream frame free of it
+    turns_seg = turns_seg.drop("top_text")
     if persist:
         from pyspark import StorageLevel
         turns_seg = turns_seg.persist(StorageLevel.MEMORY_AND_DISK)
@@ -66,9 +69,14 @@ def run_pipeline(transcripts: DataFrame, persist: bool = False,
     conversations = conversations_table(conv_meta, records_stage).join(
         n_segments, "conv_id", "left")
 
-    # top_text is segmentation-internal: exclude it from the persisted
-    # per-turn surface (FIXTURES.md §4 shape + diagnostics)
-    turns_out = turns_seg.select(
+    # spans ride internally as parallel int arrays; zip them into the
+    # contract's (field, start, end) structs natively at output time
+    spans = F.transform(
+        F.arrays_zip("span_starts", "span_ends"),
+        lambda z: F.struct(F.lit("content").alias("field"),
+                           z["span_starts"].alias("start"),
+                           z["span_ends"].alias("end")))
+    turns_out = turns_seg.withColumn("spans", spans).select(
         "conv_id", "turn_idx", "role", "ts", "extraction_path",
         "raw_text", "clean_text", "spans",
         "n_lines", "n_tokens", "mean_token_confidence", "segment_index",

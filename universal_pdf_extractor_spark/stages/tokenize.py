@@ -32,13 +32,13 @@ from pyspark.sql.types import (
 )
 
 from ..kernels.layout import turn_view_batch
-from ..schemas import SPAN_TYPE
 
 VIEW_TYPE = StructType([
     StructField("raw_text", StringType(), False),
     StructField("top_text", StringType(), False),
     StructField("clean_text", StringType(), False),
-    StructField("spans", ArrayType(SPAN_TYPE), False),
+    StructField("span_starts", ArrayType(IntegerType()), False),
+    StructField("span_ends", ArrayType(IntegerType()), False),
     StructField("n_lines", IntegerType(), False),
     StructField("n_tokens", IntegerType(), False),
 ])
@@ -70,7 +70,8 @@ def tokenize_stage(transcripts: DataFrame) -> DataFrame:
         F.col("view.raw_text").alias("raw_text"),
         F.col("view.top_text").alias("top_text"),
         F.col("view.clean_text").alias("clean_text"),
-        F.col("view.spans").alias("spans"),
+        F.col("view.span_starts").alias("span_starts"),
+        F.col("view.span_ends").alias("span_ends"),
         F.col("view.n_lines").alias("n_lines"),
         F.col("view.n_tokens").alias("n_tokens"),
         # PageMetrics analogue (contracts.py:67-80): text-path tokens
