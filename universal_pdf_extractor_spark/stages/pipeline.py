@@ -44,6 +44,11 @@ def run_pipeline(transcripts: DataFrame, persist: bool = False,
     tokenize+window per sink; callers unpersist via the returned
     frame's ``.unpersist()`` (exposed as key "_turns_seg").
     """
+    # NOTE: an exchange-before-tokenize layout (shuffling only raw
+    # transcript columns) was tried and rejected: ArrowEvalPython does
+    # not propagate its child's outputPartitioning, so the windows
+    # would re-shuffle the (fatter) tokenized frame anyway — costing
+    # two exchanges instead of one.
     turns = tokenize_stage(transcripts)
     turns_seg = segment_stage(turns)
     # top_text is only consumed by the boundary score above — keep the
