@@ -100,7 +100,12 @@ def make_column_assigner(columns: list[dict]):
 def assign_line_to_cells(line: dict, columns: list[dict], assigner=None) -> list[dict]:
     """Group a line's tokens into per-column cells.
 
-    Cell: {text, column_index, x0, y0, x1, y1, confidence}.
+    Cell: {text, column_index}.  The reference also materializes a
+    cell envelope bbox + mean confidence (table_extractor.py:205-211),
+    but nothing downstream of cell assembly ever reads them (field
+    extraction, stats, marker scans all consume text+column only, and
+    the reference never persists its transaction_evidence rows), so
+    they are omitted here — pure dead weight at 10^12-turn scale.
     """
     if assigner is None:
         assigner = lambda t: assign_token_to_column(t, columns)  # noqa: E731
@@ -110,14 +115,11 @@ def assign_line_to_cells(line: dict, columns: list[dict], assigner=None) -> list
 
     cells = []
     for col_idx in sorted(cell_tokens):
-        toks = sorted(cell_tokens[col_idx], key=lambda t: t["x0"])
+        toks = cell_tokens[col_idx]
+        if len(toks) > 1:
+            toks = sorted(toks, key=lambda t: t["x0"])
         cells.append({
             "text": " ".join(t["text"] for t in toks),
             "column_index": col_idx,
-            "x0": min(t["x0"] for t in toks),
-            "y0": min(t["y0"] for t in toks),
-            "x1": max(t["x1"] for t in toks),
-            "y1": max(t["y1"] for t in toks),
-            "confidence": sum(t["confidence"] for t in toks) / len(toks),
         })
     return cells

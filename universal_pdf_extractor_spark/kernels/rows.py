@@ -80,10 +80,21 @@ def reconstruct_rows(lines: list[dict],
                          "is_balance_marker": True, "raw_text": line["text"]})
             continue
 
-        has_date = any(c["column_index"] == date_column_index and is_date_like(c["text"])
-                       for c in cells)
-        has_amount = any(c["column_index"] in amount_cols and is_amount_like(c["text"])
-                         for c in cells)
+        # predicate results memoized on the shared cell dicts: the
+        # preliminary and final passes would otherwise recompute them
+        has_date = False
+        has_amount = False
+        for c in cells:
+            if not has_date and c["column_index"] == date_column_index:
+                flag = c.get("_date_like")
+                if flag is None:
+                    flag = c["_date_like"] = is_date_like(c["text"])
+                has_date = has_date or flag
+            if not has_amount and c["column_index"] in amount_cols:
+                flag = c.get("_amount_like")
+                if flag is None:
+                    flag = c["_amount_like"] = is_amount_like(c["text"])
+                has_amount = has_amount or flag
 
         if has_date:
             if current:
