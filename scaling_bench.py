@@ -60,6 +60,13 @@ def run_level(cores: int, corpus: str) -> float:
     raise RuntimeError(out.stdout[-2000:] + out.stderr[-2000:])
 
 
+def _burn(k):
+    s = 0
+    for i in range(k):
+        s += i * i
+    return s
+
+
 def hardware_control(n: int) -> dict:
     """Ideal-parallel control: pure-CPU multiprocessing burn at N and
     4N processes.  Bounds what ANY workload can achieve on this host
@@ -68,12 +75,7 @@ def hardware_control(n: int) -> dict:
     import multiprocessing as mp
     import time
 
-    def burn(k):
-        s = 0
-        for i in range(k):
-            s += i * i
-        return s
-
+    burn = _burn
     out = {}
     for procs in (n, 4 * n):
         with mp.Pool(procs) as pool:
