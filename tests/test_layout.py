@@ -87,3 +87,29 @@ def test_batch_fast_path_matches_ir_route():
         rebuilt = [{"field": "content", "start": a, "end": b}
                    for a, b in zip(batch.loc[i, "span_starts"], batch.loc[i, "span_ends"])]
         assert rebuilt == view["spans"], i
+
+
+def test_tokens_table_contract(spark):
+    """Exploded token IR: ordering + bbox invariants, span offsets."""
+    import pandas as pd
+    from universal_pdf_extractor_spark.io.fixtures import generate_transcripts
+    from universal_pdf_extractor_spark.schemas import TRANSCRIPTS_SCHEMA
+    from universal_pdf_extractor_spark.stages.tokenize import tokens_table
+
+    pdf = generate_transcripts(4)
+    sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    toks = tokens_table(sdf).toPandas()
+    assert len(toks) > 0
+    for (_conv, _turn), grp in toks.groupby(["conv_id", "turn_idx"]):
+        grp = grp.sort_values("token_index")
+        keys = list(zip(grp["y0"], grp["x0"]))
+        assert keys == sorted(keys)  # (y0, x0) reading order
+        assert ((grp["x0"] >= 0) & (grp["x1"] <= 1)
+                & (grp["y0"] >= 0) & (grp["y1"] <= 1)).all()
+    # offsets point at the token text in the original payload
+    src = pdf.set_index(["conv_id", "turn_idx"])
+    sample = toks.head(200)
+    for row in sample.itertuples():
+        raw = src.loc[(row.conv_id, row.turn_idx)]
+        payload = raw["text"] if isinstance(raw["text"], str) and raw["text"] else (raw["tool"] or "")
+        assert payload[row.start:row.end] == row.text

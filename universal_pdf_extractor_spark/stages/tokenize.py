@@ -49,6 +49,45 @@ def _turn_view_udf(payload: pd.Series) -> pd.DataFrame:
     return turn_view_batch(payload)
 
 
+def tokens_table(transcripts: DataFrame) -> DataFrame:
+    """Diagnostic token-IR surface (contracts.py:20-26 analogue).
+
+    One row per token with normalized [0,1] bbox, source-path tag and
+    char offsets into the original turn text — the NormalizedPage
+    token list as an exploded columnar table.  Not on the hot path;
+    used for layout debugging and external token consumers.
+    """
+    import pandas as pd  # noqa: F811
+
+    from pyspark.sql.types import DoubleType
+
+    from ..kernels.layout import tokenize_turn
+    from ..schemas import TOKEN_TYPE
+
+    out_schema = StructType([
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("token_index", IntegerType(), False),
+    ] + list(TOKEN_TYPE.fields))
+
+    def run(batches):
+        for pdf in batches:
+            text_ok = pdf["text"].notna() & (pdf["text"] != "")
+            tool_ok = pdf["tool"].notna() & (pdf["tool"] != "")
+            payload = pdf["text"].where(text_ok, pdf["tool"].where(tool_ok, ""))
+            rows = []
+            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], payload):
+                tokens, _ = tokenize_turn(text)
+                for i, t in enumerate(tokens):
+                    rows.append((conv_id, int(turn_idx), i, t["text"],
+                                 t["x0"], t["y0"], t["x1"], t["y1"],
+                                 t["confidence"], t["start"], t["end"]))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return transcripts.select("conv_id", "turn_idx", "text", "tool") \
+                      .mapInPandas(run, schema=out_schema)
+
+
 def tokenize_stage(transcripts: DataFrame) -> DataFrame:
     """transcripts -> + (extraction_path, payload, view columns)."""
     text_ok = F.col("text").isNotNull() & (F.col("text") != "")
