@@ -109,6 +109,7 @@ def parse_amount(raw: str) -> AmountParse:
 
 
 _PLAIN_NUMBER_RE = re.compile(r"\d+(\.\d*)?")
+_DRCR_STRIP_RE = re.compile(r"\s*(DR|CR|D|C)$", re.IGNORECASE)
 
 
 def is_amount_like(text: str) -> bool:
@@ -123,7 +124,7 @@ def is_amount_like(text: str) -> bool:
     if _PLAIN_NUMBER_RE.fullmatch(t):
         return True
     cleaned = t.replace(_POUND, "").replace("GBP", "").replace(",", "").strip()
-    cleaned = re.sub(r"\s*(DR|CR|D|C)$", "", cleaned, flags=re.IGNORECASE).strip()
+    cleaned = _DRCR_STRIP_RE.sub("", cleaned).strip()
     if cleaned.startswith("(") and cleaned.endswith(")"):
         cleaned = cleaned[1:-1].strip()
     if cleaned.startswith("-") or cleaned.startswith(_MINUS_SIGN):

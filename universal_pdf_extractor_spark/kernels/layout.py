@@ -54,6 +54,32 @@ TOKEN_CONFIDENCE = 0.95      # PDF-text-path default confidence
 
 _TOKEN_RE = re.compile(r"\S+")
 
+# coordinate memo tables: x positions repeat per page width, y per
+# line index — identical values to the inline formulas (same round)
+_X_TABLES: dict[float, list[float]] = {}
+_Y0S: list[float] = []
+_Y1S: list[float] = []
+
+
+def _x_table(width: float, need: int) -> list[float]:
+    table = _X_TABLES.get(width)
+    if table is None or len(table) <= need:
+        table = [round(X_MARGIN + (i / width) * X_SPAN, 6)
+                 for i in range(max(need + 1, int(width) + 2))]
+        _X_TABLES[width] = table
+        if len(_X_TABLES) > 64:  # bound the cache for adversarial widths
+            _X_TABLES.clear()
+            _X_TABLES[width] = table
+    return table
+
+
+def _y_tables(need: int) -> tuple[list[float], list[float]]:
+    while len(_Y0S) <= need:
+        i = len(_Y0S)
+        _Y0S.append(round(Y_START + i * LINE_PITCH, 6))
+        _Y1S.append(round(Y_START + i * LINE_PITCH + LINE_HEIGHT, 6))
+    return _Y0S, _Y1S
+
 
 def _page_width(text_lines: list[str]) -> float:
     longest = max((len(ln) for ln in text_lines), default=0)
@@ -72,25 +98,28 @@ def tokenize_turn(text: Optional[str]) -> tuple[list[dict], list[dict]]:
         return [], []
     raw_lines = text.split("\n")
     width = _page_width(raw_lines)
+    xs = _x_table(width, max(len(ln) for ln in raw_lines))
+    y0s, y1s = _y_tables(len(raw_lines))
 
     tokens: list[dict] = []
     lines: list[dict] = []
     offset = 0
     for i, raw in enumerate(raw_lines):
         line_tokens = []
-        y0 = round(Y_START + i * LINE_PITCH, 6)
-        y1 = round(Y_START + i * LINE_PITCH + LINE_HEIGHT, 6)
+        y0 = y0s[i]
+        y1 = y1s[i]
         for m in _TOKEN_RE.finditer(raw):
+            a, b = m.span()
             tok = {
                 "text": m.group(0),
-                "x0": round(X_MARGIN + (m.start() / width) * X_SPAN, 6),
+                "x0": xs[a],
                 "y0": y0,
-                "x1": round(X_MARGIN + (m.end() / width) * X_SPAN, 6),
+                "x1": xs[b],
                 "y1": y1,
                 "confidence": TOKEN_CONFIDENCE,
                 "line_origin": i,
-                "start": offset + m.start(),
-                "end": offset + m.end(),
+                "start": offset + a,
+                "end": offset + b,
             }
             line_tokens.append(tok)
             tokens.append(tok)
