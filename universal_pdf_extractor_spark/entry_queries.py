@@ -559,6 +559,22 @@ def ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, q, k=10, n_planes=4, tables=8, dim=dim)
 
 
+@register("ann_ivf_topk", None)  # approximate IVF path (scale variant)
+def ann_ivf_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_topk(emb, q, k=10)
+
+
+@register("transcripts_token_ir", None)
+def transcripts_token_ir(spark, sf_dir):
+    """Exploded token-IR diagnostics surface (contracts.py:20-26)."""
+    from .stages.tokenize import tokens_table
+    transcripts = transcripts_sdf(spark, 200)
+    return tokens_table(transcripts)
+
+
 @register("text_token_count", r"""
     SELECT doc_id,
            CAST(CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
