@@ -248,34 +248,53 @@ def turn_view_batch(texts: pd.Series) -> pd.DataFrame:
     lf["span_start"] = (lf["line_start"] + lstrip_len).astype(np.int64)
     lf["span_end"] = (lf["line_start"] + rstrip_len).astype(np.int64)
 
-    lf["nonempty"] = nonempty
-    lf["keep"] = nonempty & ~is_summary_row_batch(norm).to_numpy()
-    lf["in_top"] = lf["line_idx"] < TOP_REGION_LINES
+    nonempty_np = nonempty.to_numpy()
+    keep_np = nonempty_np & ~is_summary_row_batch(norm).to_numpy()
+    in_top_np = (lf["line_idx"] < TOP_REGION_LINES).to_numpy()
+    norm_np = norm.to_numpy(dtype=object)
+    rows_np = lf["row"].to_numpy()
 
-    ne = lf[lf["nonempty"]]
-    raw_text = ne.groupby("row")["norm"].agg("\n".join)
-    top_text = ne[ne["in_top"]].groupby("row")["norm"].agg(" ".join).str.lower()
-    n_lines = ne.groupby("row").size()
-    n_tokens = lf.groupby("row")["n_tok"].sum()
-
-    kept = lf[lf["keep"]]
-    clean_text = kept.groupby("row")["norm"].agg("\n".join)
-    # spans ride as two parallel int arrays — the Arrow/cache-compact
-    # form; the output stage zips them into (field, start, end) structs
-    span_starts = kept.groupby("row")["span_start"].agg(list)
-    span_ends = kept.groupby("row")["span_end"].agg(list)
+    def _grouped_join(mask: np.ndarray, sep: str) -> list:
+        """Per-row join of masked line texts (rows_np is row-ordered),
+        without pandas groupby-apply overhead."""
+        out_list = [""] * n
+        sel_rows = rows_np[mask]
+        if not len(sel_rows):
+            return out_list
+        sel_vals = norm_np[mask]
+        bounds = np.flatnonzero(np.diff(sel_rows)) + 1
+        heads = sel_rows[np.concatenate(([0], bounds))] if len(bounds) else sel_rows[:1]
+        for r, chunk in zip(heads, np.split(sel_vals, bounds)):
+            out_list[int(r)] = sep.join(chunk)
+        return out_list
 
     idx = np.arange(n)
     out = pd.DataFrame(index=idx)
-    out["raw_text"] = raw_text.reindex(idx, fill_value="")
-    out["top_text"] = top_text.reindex(idx, fill_value="")
-    out["clean_text"] = clean_text.reindex(idx, fill_value="")
-    out["span_starts"] = span_starts.reindex(idx)
-    out["span_ends"] = span_ends.reindex(idx)
-    for col in ("span_starts", "span_ends"):
-        out[col] = out[col].apply(
-            lambda v: [int(x) for x in v] if isinstance(v, list) else [])
-    out["n_lines"] = n_lines.reindex(idx, fill_value=0).astype(np.int32)
-    out["n_tokens"] = n_tokens.reindex(idx, fill_value=0).astype(np.int32)
+    out["raw_text"] = _grouped_join(nonempty_np, "\n")
+    out["top_text"] = [t.lower() for t in _grouped_join(nonempty_np & in_top_np, " ")]
+    out["clean_text"] = _grouped_join(keep_np, "\n")
+
+    # spans ride as two parallel int arrays — the Arrow/cache-compact
+    # form; the output stage zips them into (field, start, end) structs
+    starts_np = lf["span_start"].to_numpy()
+    ends_np = lf["span_end"].to_numpy()
+    span_starts: list = [[] for _ in range(n)]
+    span_ends: list = [[] for _ in range(n)]
+    kept_rows = rows_np[keep_np]
+    if len(kept_rows):
+        bounds = np.flatnonzero(np.diff(kept_rows)) + 1
+        heads = kept_rows[np.concatenate(([0], bounds))] if len(bounds) else kept_rows[:1]
+        for r, s_chunk, e_chunk in zip(heads,
+                                       np.split(starts_np[keep_np], bounds),
+                                       np.split(ends_np[keep_np], bounds)):
+            span_starts[int(r)] = [int(x) for x in s_chunk]
+            span_ends[int(r)] = [int(x) for x in e_chunk]
+    out["span_starts"] = span_starts
+    out["span_ends"] = span_ends
+
+    out["n_lines"] = np.bincount(rows_np, weights=nonempty_np.astype(np.float64),
+                                 minlength=n).astype(np.int32)
+    out["n_tokens"] = np.bincount(rows_np, weights=lf["n_tok"].to_numpy().astype(np.float64),
+                                  minlength=n).astype(np.int32)
     out.index = texts.index
     return out

@@ -258,6 +258,9 @@ PAGE_NUMBER_RLIKE = combine(PAGE_NUMBER_PATTERNS)
 
 _BALANCE_MARKER_RE = re.compile(BALANCE_MARKER_RLIKE)
 _SUMMARY_ROW_RE = re.compile(SUMMARY_ROW_RLIKE)
+# single pass for "balance marker OR summary row" (boolean-equivalent
+# to the two-regex OR; used by the batch boilerplate strip)
+_BOILERPLATE_RE = re.compile(f"(?:{BALANCE_MARKER_RLIKE})|(?:{SUMMARY_ROW_RLIKE})")
 
 
 def is_balance_marker(text: str) -> bool:
@@ -286,7 +289,4 @@ def is_balance_marker_batch(values: pd.Series) -> pd.Series:
 
 def is_summary_row_batch(values: pd.Series) -> pd.Series:
     s = values.fillna("").str.lower().str.strip()
-    return (s != "") & (
-        s.str.contains(_BALANCE_MARKER_RE, regex=True)
-        | s.str.contains(_SUMMARY_ROW_RE, regex=True)
-    )
+    return (s != "") & s.str.contains(_BOILERPLATE_RE, regex=True)
