@@ -107,3 +107,17 @@ def test_is_date_like():
     assert is_date_like("25JUN20")
     assert not is_date_like("hello world")
     assert not is_date_like("")
+
+
+def test_parse_date_batch_parity():
+    import pandas as pd
+
+    from universal_pdf_extractor_spark.kernels.dates import parse_date_batch
+
+    cases = ["01/02/2024", "15 Jan 2024", "2024-01-15", "25JUN20",
+             "31/02/2020", "99/99/2020", "12/01/2020", "hello", "",
+             None, "1/2/2024", "05.06.2023", "3rd Mar 2021", "07/08/24"]
+    batch = parse_date_batch(pd.Series(cases), today=TODAY)
+    for raw, got in zip(cases, batch):
+        exp = parse_date(raw, today=TODAY).parsed_date if raw is not None else None
+        assert got == exp, f"{raw!r}: batch={got} row={exp}"

@@ -130,3 +130,33 @@ class TestRouter:
         assert [r["direction"] for r in results] == ["DEBIT", "CREDIT", "DEBIT"]
         assert all(r["balance_confirmed"] for r in results)
         assert all(r["confidence"] == 0.98 for r in results)
+
+
+class TestSignedDirectionBatch:
+    def test_parity_with_per_row_parse(self):
+        import pandas as pd
+
+        from universal_pdf_extractor_spark.kernels.solver import (
+            parse_signed_amount, signed_direction_batch)
+
+        cases = ["(500.00)", "100.00 DR", "250.00 CR", "75.50-", "-75.50",
+                 "−75.50", "1,234.56", "£500.00", "0.00", "(0.00)",
+                 "0 DR", "garbage", "", None, "12.5", "(1,000.00)",
+                 "999CR", "45.00dr", "  88.20  ", "10-", "-0.00"]
+        batch = signed_direction_batch(pd.Series(cases))
+
+        def per_row(s):
+            if s is None:
+                return "UNKNOWN"
+            parsed = parse_signed_amount(s)
+            if parsed is None:
+                return "UNKNOWN"
+            amount, _src = parsed
+            if amount < 0:
+                return "DEBIT"
+            if amount > 0:
+                return "CREDIT"
+            return "UNKNOWN"
+
+        for raw, got in zip(cases, batch):
+            assert got == per_row(raw), f"{raw!r}: batch={got} row={per_row(raw)}"

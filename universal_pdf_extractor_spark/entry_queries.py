@@ -57,37 +57,53 @@ def sf_from_dir(sf_dir: str) -> float:
 @register("agg_pricing_summary", """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_rows,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+           CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
 """)
 def agg_pricing_summary(spark, sf_dir):
-    """A3/A4 aggregate mapping: grouped sums with decimal-safe money."""
+    """A3/A4 aggregate mapping: grouped money sums.
+
+    Money is fixed to exact integer cents via FLOOR(x*100) *before*
+    aggregation: IEEE double multiply + floor is bit-identical across
+    engines, whereas double->DECIMAL casts round half-way values
+    differently in Spark (Java BigDecimal HALF_UP on the exact binary
+    expansion) vs DuckDB (scaled-multiply rounding), and DECIMAL
+    outputs additionally stringify with engine-specific trailing zeros.
+    Integer cents sidestep both divergences.
+    """
     li = _read(spark, sf_dir, "lineitem")
+
+    def cents(col):
+        return F.floor(F.col(col) * 100).cast("long")
+
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.sum(cents("l_quantity")).alias("sum_qty_cents"),
+        F.sum(cents("l_extendedprice")).alias("sum_price_cents"),
     )
 
 
 @register("join_orders_customers", """
     SELECT c.c_mktsegment AS mktsegment,
            COUNT(*) AS n_orders,
-           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_price_cents
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
 """)
 def join_orders_customers(spark, sf_dir):
-    """J1 join mapping: broadcast the customer dimension."""
+    """J1 join mapping: broadcast the customer dimension.  Money sums
+    in exact integer cents (see agg_pricing_summary)."""
     orders = _read(spark, sf_dir, "orders")
     customer = _read(spark, sf_dir, "customer")
     return (orders.join(F.broadcast(customer),
                         orders.o_custkey == customer.c_custkey)
             .groupBy(F.col("c_mktsegment").alias("mktsegment"))
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price")))
+                 F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+                  .alias("total_price_cents")))
 
 
 @register("window_lead_sessions", """
@@ -129,21 +145,23 @@ def cumsum_segmentation(spark, sf_dir):
     SELECT event_id,
            LAST_VALUE(v IGNORE NULLS) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS filled_value
+               ROWS UNBOUNDED PRECEDING) AS filled_micros
     FROM (SELECT event_id, user_id, ts,
                  CASE WHEN event_type = 'view' THEN NULL
-                      ELSE CAST(value AS DECIMAL(18,6)) END AS v
+                      ELSE CAST(FLOOR(value * 1000000) AS BIGINT) END AS v
           FROM events)
 """)
 def forward_fill_w8(spark, sf_dir):
-    """W8 mapping: last(ignorenulls) carries values down rows."""
+    """W8 mapping: last(ignorenulls) carries values down rows.
+    Values are fixed to integer micros before the fill (see
+    agg_pricing_summary for why FLOOR-to-int, not DECIMAL casts)."""
     ev = _read(spark, sf_dir, "events")
     v = F.when(F.col("event_type") == "view", F.lit(None)) \
-         .otherwise(F.col("value").cast("decimal(18,6)"))
+         .otherwise(F.floor(F.col("value") * 1000000).cast("long"))
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return ev.withColumn("v", v).select(
-        "event_id", F.last("v", ignorenulls=True).over(w).alias("filled_value"))
+        "event_id", F.last("v", ignorenulls=True).over(w).alias("filled_micros"))
 
 
 @register("latest_run_lookup", """
@@ -162,14 +180,17 @@ def latest_run_lookup(spark, sf_dir):
 
 
 @register("topk_ordering", """
-    SELECT event_id, CAST(value AS DECIMAL(18,6)) AS value
+    SELECT event_id, CAST(FLOOR(value * 1000000) AS BIGINT) AS value_micros
     FROM events ORDER BY value DESC, event_id ASC LIMIT 50
 """)
 def topk_ordering(spark, sf_dir):
-    """O1/O7 mapping: deterministic total ordering + limit."""
+    """O1/O7 mapping: deterministic total ordering + limit.
+    Ordering runs on the raw double (identical IEEE comparisons both
+    engines); output is exact integer micros."""
     ev = _read(spark, sf_dir, "events")
     return (ev.orderBy(F.desc("value"), F.asc("event_id")).limit(50)
-            .select("event_id", F.col("value").cast("decimal(18,6)").alias("value")))
+            .select("event_id",
+                    F.floor(F.col("value") * 1000000).cast("long").alias("value_micros")))
 
 
 @register("fallback_cascade", """
@@ -242,11 +263,11 @@ def date_parse_roundtrip(spark, sf_dir):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DateType
 
-    from .kernels.dates import parse_date
+    from .kernels.dates import parse_date_batch
 
     @pandas_udf(DateType())
     def parse_uk(raw: pd.Series) -> pd.Series:
-        return raw.map(lambda s: parse_date(s).parsed_date)
+        return parse_date_batch(raw)
 
     orders = _read(spark, sf_dir, "orders")
     rendered = F.date_format(F.col("o_orderdate"), "dd/MM/yyyy")
@@ -255,31 +276,43 @@ def date_parse_roundtrip(spark, sf_dir):
 
 @register("amount_parse_roundtrip", """
     SELECT l_orderkey, l_linenumber,
-           CAST(CASE WHEN (l_orderkey + l_linenumber) % 4 = 1
-                     THEN -CAST(l_extendedprice AS DECIMAL(15,2))
-                     ELSE CAST(l_extendedprice AS DECIMAL(15,2)) END
-                AS DECIMAL(15,2)) AS amount
-    FROM lineitem
+           CASE WHEN (l_orderkey + l_linenumber) % 4 = 1 THEN -c ELSE c END
+               AS amount_cents
+    FROM (SELECT l_orderkey, l_linenumber,
+                 CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c
+          FROM lineitem)
 """)
 def amount_parse_roundtrip(spark, sf_dir):
     """P1 mapping: render prices in UK statement conventions
-    (commas, parentheses-negative) and parse them back vectorized."""
+    (commas, parentheses-negative) and parse them back vectorized.
+    The rendered string is built from exact integer cents (whole part
+    thousands-grouped, fraction zero-padded) so the round-trip target
+    is engine-independent; output is signed integer cents."""
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import DecimalType
+    from pyspark.sql.types import LongType
 
     from .kernels.amounts import parse_amount_batch
 
-    @pandas_udf(DecimalType(15, 2))
-    def parse_uk(raw: pd.Series) -> pd.Series:
-        return parse_amount_batch(raw)["amount"]
+    @pandas_udf(LongType())
+    def parse_uk_cents(raw: pd.Series) -> pd.Series:
+        amounts = parse_amount_batch(raw)["amount"]
+        ok = amounts.notna()
+        out = pd.Series(pd.NA, index=raw.index, dtype="Int64")
+        # Decimal(x.yz) * 100 is exact in decimal arithmetic; the
+        # float64 hop is exact for |cents| < 2^53
+        out.loc[ok] = (amounts[ok] * 100).astype("float64").round().astype("Int64")
+        return out
 
     li = _read(spark, sf_dir, "lineitem")
-    base = F.format_number(F.col("l_extendedprice").cast("decimal(15,2)"), 2)
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    whole = F.floor(cents / 100).cast("long")
+    frac = F.lpad((cents % 100).cast("string"), 2, "0")
+    base = F.concat(F.format_number(whole, 0), F.lit("."), frac)
     styled = F.when((F.col("l_orderkey") + F.col("l_linenumber")) % 4 == 1,
                     F.concat(F.lit("("), base, F.lit(")"))) \
               .otherwise(base)
     return li.select("l_orderkey", "l_linenumber",
-                     parse_uk(styled).alias("amount"))
+                     parse_uk_cents(styled).alias("amount_cents"))
 
 
 @register("date_like_flags", r"""
@@ -303,11 +336,11 @@ def date_like_flags(spark, sf_dir):
 
 @register("first_last_window", """
     SELECT user_id,
-           MIN(first_v) AS opening_value, MIN(last_v) AS closing_value
+           MIN(first_v) AS opening_micros, MIN(last_v) AS closing_micros
     FROM (
         SELECT user_id,
-               FIRST_VALUE(CAST(value AS DECIMAL(18,6))) OVER w AS first_v,
-               LAST_VALUE(CAST(value AS DECIMAL(18,6))) OVER
+               FIRST_VALUE(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w AS first_v,
+               LAST_VALUE(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER
                    (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
         FROM events
@@ -317,17 +350,18 @@ def date_like_flags(spark, sf_dir):
 """)
 def first_last_window(spark, sf_dir):
     """W7 mapping: opening/closing picks = first/last over a window
-    (the reference scans first/last balance-marker rows)."""
+    (the reference scans first/last balance-marker rows).  Integer
+    micros keep the cross-engine comparison exact."""
     ev = _read(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    v = F.col("value").cast("decimal(18,6)")
+    v = F.floor(F.col("value") * 1000000).cast("long")
     return (ev.select("user_id",
                       F.first(v).over(w).alias("first_v"),
                       F.last(v).over(w).alias("last_v"))
             .groupBy("user_id")
-            .agg(F.min("first_v").alias("opening_value"),
-                 F.min("last_v").alias("closing_value")))
+            .agg(F.min("first_v").alias("opening_micros"),
+                 F.min("last_v").alias("closing_micros")))
 
 
 @register("signed_direction_case2", """
@@ -344,21 +378,11 @@ def signed_direction_case2(spark, sf_dir):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
-    from .kernels.solver import parse_signed_amount
+    from .kernels.solver import signed_direction_batch
 
     @pandas_udf(StringType())
     def direction_of(raw: pd.Series) -> pd.Series:
-        def solve(s):
-            parsed = parse_signed_amount(s)
-            if parsed is None:
-                return "UNKNOWN"
-            amount, _src = parsed
-            if amount < 0:
-                return "DEBIT"
-            if amount > 0:
-                return "CREDIT"
-            return "UNKNOWN"
-        return raw.map(solve)
+        return signed_direction_batch(raw)
 
     li = _read(spark, sf_dir, "lineitem")
     base = F.format_number(F.col("l_extendedprice").cast("decimal(15,2)"), 2)

@@ -209,3 +209,34 @@ def is_date_like_batch(values: pd.Series) -> pd.Series:
     for p in _DATE_LIKE_PATTERNS:
         out |= s.str.contains(p, regex=True)
     return out & (s != "")
+
+
+def parse_date_batch(values: pd.Series,
+                     period_start: Optional[date] = None,
+                     period_end: Optional[date] = None,
+                     today: date = DEFAULT_TODAY) -> pd.Series:
+    """Vectorized parse_date -> Series[date|None].
+
+    The dominant statement format (strict dd/mm/yyyy) takes a fully
+    vectorized ``pd.to_datetime`` fast path; everything else (named
+    months, DDMONYY, no-year forms, invalid calendar dates) falls back
+    to the per-row ladder so semantics stay byte-identical with
+    :func:`parse_date`.
+    """
+    s = values.fillna("").str.strip()
+    out = pd.Series([None] * len(values), index=values.index, dtype=object)
+
+    fast = s.str.fullmatch(r"\d{2}/\d{2}/\d{4}")
+    if fast.any():
+        parsed = pd.to_datetime(s[fast], format="%d/%m/%Y", errors="coerce")
+        ok = parsed.notna()
+        out.loc[parsed.index[ok]] = parsed[ok].dt.date
+        # invalid calendar dates (NaT) re-enter the ladder below
+        fast = fast.copy()
+        fast.loc[parsed.index[~ok]] = False
+
+    rest = ~fast & (s != "")
+    if rest.any():
+        out.loc[rest] = s[rest].map(
+            lambda x: parse_date(x, period_start, period_end, today).parsed_date)
+    return out

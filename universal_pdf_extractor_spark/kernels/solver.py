@@ -100,6 +100,64 @@ def parse_signed_amount(raw: str) -> Optional[tuple[Decimal, str]]:
     return None
 
 
+def signed_direction_batch(values) -> "pd.Series":  # noqa: F821
+    """Vectorized case-2 direction inference over a string Series.
+
+    Same ladder and precedence as :func:`parse_signed_amount` (which
+    mirrors app/pipeline/balance_solver.py's sign-convention parse),
+    but evaluated with pandas regex extracts instead of per-row Python:
+    parentheses -> DR/CR suffix -> trailing minus -> leading minus ->
+    unsigned.  Returns 'DEBIT' / 'CREDIT' / 'UNKNOWN'.
+    """
+    import numpy as np
+    import pandas as pd
+
+    s = (values.fillna("").str.strip()
+         .str.replace(chr(163), "", regex=False)
+         .str.replace(",", "", regex=False)
+         .str.replace(" ", "", regex=False))
+
+    out = pd.Series("UNKNOWN", index=values.index, dtype=object)
+    undecided = pd.Series(True, index=values.index)
+
+    # (pattern, numeric-group, sign) — sign -1 debit, +1 credit,
+    # 0 means "sign of the magnitude decides nothing" (unsigned=credit
+    # unless zero).  DR/CR needs a per-match sign so handle separately.
+    def _take(mask: pd.Series, nums: pd.Series, neg: pd.Series):
+        nz = pd.to_numeric(nums, errors="coerce") != 0
+        out.loc[mask & nz & neg] = "DEBIT"
+        out.loc[mask & nz & ~neg] = "CREDIT"
+        # zero amounts stay UNKNOWN (parse yields amount == 0)
+        undecided.loc[mask] = False
+
+    m = s.str.extract(r"^\((\d+\.?\d*)\)$")[0]
+    hit = undecided & m.notna()
+    if hit.any():
+        _take(hit, m, pd.Series(True, index=values.index))
+
+    drcr = s.str.extract(re.compile(r"^(\d+\.?\d*)(DR|CR)$", re.IGNORECASE))
+    hit = undecided & drcr[0].notna()
+    if hit.any():
+        _take(hit, drcr[0], drcr[1].str.upper() == "DR")
+
+    m = s.str.extract(r"^(\d+\.?\d*)\-$")[0]
+    hit = undecided & m.notna()
+    if hit.any():
+        _take(hit, m, pd.Series(True, index=values.index))
+
+    m = s.str.extract(r"^[\-−](\d+\.?\d*)$")[0]
+    hit = undecided & m.notna()
+    if hit.any():
+        _take(hit, m, pd.Series(True, index=values.index))
+
+    m = s.str.extract(r"^(\d+\.?\d*)$")[0]
+    hit = undecided & m.notna()
+    if hit.any():
+        _take(hit, m, pd.Series(False, index=values.index))
+
+    return out
+
+
 def rows_have_sign_convention(rows: list[dict]) -> bool:
     sign_count = sum(1 for row in rows
                      if _SIGN_CONVENTION_RE.search(row.get("amount_raw", "")))
