@@ -105,6 +105,8 @@ def test_conversations_equality(outputs, oracle):
                             e["document_confidence"], abs_tol=1e-4), conv_id
         assert g["validation_status"] == e["validation_status"], conv_id
         assert g["final_status"] == e["final_status"], conv_id
+        assert list(g["hard_gate_failures"]) == e["hard_gate_failures"], conv_id
+        assert list(g["warnings"]) == e["warnings"], conv_id
         assert g["row_count"] == e["row_count"], conv_id
         assert g["n_segments"] == e["n_segments"], conv_id
 
@@ -119,6 +121,63 @@ def test_segments_equality(outputs, oracle):
             assert g.segment_index == e["segment_index"]
             assert (g.opening_balance if pd.notna(g.opening_balance) else None) == e["opening_balance"]
             assert g.n_records == e["n_records"]
+
+
+def _run_single_conv(spark, lines: list[str], conv_id: str = "conv_gated"):
+    import numpy as np
+
+    pdf = pd.DataFrame([{
+        "conv_id": conv_id, "turn_idx": 0, "role": "user",
+        "text": "\n".join(lines), "tool": None,
+        "ts": pd.Timestamp("2024-01-01"),
+    }])
+    pdf["turn_idx"] = pdf["turn_idx"].astype(np.int32)
+    sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    out = run_pipeline(sdf)
+    return out["conversations"].toPandas().iloc[0], "\n".join(lines)
+
+
+def test_hard_gate_all_unknown_fails(spark):
+    """Scorer gate 2 (confidence_scorer.py:81-84): zero amounts give no
+    sign evidence (single_amount_zero, orchestrator.py:775-778) and no
+    balance/keyword rescue exists -> every direction UNKNOWN ->
+    validation FAIL, both in Spark output and the kernel oracle."""
+    lines = [f"{'Date':<13} {'Description':<40}{'Amount':>13}"]
+    for i in range(8):
+        lines.append(f"{'01/02/2024':<13} {'TESCO STORES':<40}{'0.00':>13}")
+    conv, text = _run_single_conv(spark, lines)
+    assert conv["validation_status"] == "FAIL"
+    assert "HARD_GATE_ALL_DIRECTIONS_UNKNOWN" in list(conv["hard_gate_failures"])
+    assert conv["final_status"] == "NEEDS_REVIEW"
+    # oracle agreement
+    o = process_conversation([(0, text)])["conversation"]
+    assert o["validation_status"] == "FAIL"
+    assert list(conv["hard_gate_failures"]) == o["hard_gate_failures"]
+    assert list(conv["warnings"]) == o["warnings"]
+
+
+def test_hard_gate_balance_mismatch(spark):
+    """Scorer gate 5 (confidence_scorer.py:95-110): distinct opening and
+    closing markers whose difference exceeds the summed directions by
+    > £5 -> HARD_GATE_BALANCE_MISMATCH_* and NEEDS_REVIEW (the one gate
+    that softens rather than FAILs)."""
+    lines = [
+        f"{'Date':<13} {'Description':<40}{'Amount':>13}{'Balance':>14}",
+        f"{'':<13} {'Opening balance':<40}{'':>13}{'1000.00':>14}",
+    ]
+    bal = 1000
+    for i in range(8):
+        bal -= 10
+        lines.append(f"{'01/02/2024':<13} {'TESCO STORES':<40}"
+                     f"{'10.00':>13}{f'{bal}.00':>14}")
+    lines.append(f"{'':<13} {'Closing balance':<40}{'':>13}{'500.00':>14}")
+    conv, text = _run_single_conv(spark, lines, "conv_balgate")
+    gates = list(conv["hard_gate_failures"])
+    assert any(g.startswith("HARD_GATE_BALANCE_MISMATCH_") for g in gates), gates
+    assert conv["validation_status"] == "NEEDS_REVIEW"
+    o = process_conversation([(0, text)])["conversation"]
+    assert gates == o["hard_gate_failures"]
+    assert conv["validation_status"] == o["validation_status"]
 
 
 def test_corpus_exercises_all_paths(oracle):

@@ -15,8 +15,18 @@ Integrated-path parity notes (all mirrored by the Spark stages):
 - document confidence is the weighted score over per-record
   confidences with confidence_balance := 0.8 if balance_confirmed
   else 0.0 (orchestrator.py:392-400);
-- validation/final status come from the confidence thresholds
-  directly (orchestrator.py:406-417), not score_document's gates.
+- validation status follows the FULL scorer semantics — hard gates,
+  warnings and gate-driven status overrides per
+  confidence_scorer.py:72-133 — with the scorer fed complete
+  transaction dicts (direction/amount) and the conversation's
+  opening/closing balances (first segment's opening, last segment's
+  closing).  The reference orchestrator integration
+  (orchestrator.py:391-417) passes the scorer stripped dicts and
+  re-derives status from thresholds alone, silently disabling gates
+  2 and 5; this engine deliberately honours the scorer API instead.
+- final_status: COMPLETED iff validation_status is PASS or
+  PASS_WITH_WARNINGS (orchestrator.py:406-417 mapping collapsed over
+  the gate-aware statuses).
 """
 
 from __future__ import annotations
@@ -25,14 +35,10 @@ from datetime import date
 from typing import Optional
 
 from .classify import (
-    CONFIDENCE_FAIL_THRESHOLD,
-    CONFIDENCE_PASS_THRESHOLD,
-    CONFIDENCE_WARN_THRESHOLD,
-    DOCUMENT_WEIGHTS,
-    build_segments,
     boundary_score,
     classify_document,
     detect_provider,
+    score_document,
 )
 from .customer import extract_customer_info
 from .dates import DEFAULT_TODAY
@@ -53,35 +59,46 @@ def segment_index_per_turn(top_texts: list[str]) -> list[int]:
     return out
 
 
-def status_from_confidence(confidence: float) -> tuple[str, str]:
-    """(validation_status, final_status) per orchestrator.py:406-417."""
-    if confidence >= CONFIDENCE_PASS_THRESHOLD:
-        return "PASS", "COMPLETED"
-    if confidence >= CONFIDENCE_WARN_THRESHOLD:
-        return "PASS_WITH_WARNINGS", "COMPLETED"
-    if confidence >= CONFIDENCE_FAIL_THRESHOLD:
-        return "NEEDS_REVIEW", "NEEDS_REVIEW"
-    return "FAIL", "NEEDS_REVIEW"
+def score_conversation(records: list[dict],
+                       segments: list[dict]) -> dict:
+    """Full scorer over a conversation's records: score_document with
+    complete transaction dicts + conversation-level balances.
 
+    Balance inputs for the mismatch gate: opening = the first
+    record-bearing segment's opening marker; closing = the last
+    record-bearing segment's closing marker, and only when it came
+    from a DISTINCT later marker (first==last single-marker segments
+    give no independent closing evidence — feeding opening back in
+    would fire the gate on |credits-debits| noise).
 
-def document_confidence(records: list[dict]) -> tuple[float, float]:
-    """(document_confidence, reconciliation_rate) over final records."""
-    n = len(records)
-    if n == 0:
-        return 0.0, 0.0
-    mean_amount = sum(r["confidence_amount"] for r in records) / n
-    mean_direction = sum(r["confidence_direction"] for r in records) / n
-    mean_date = sum(r["confidence_date"] for r in records) / n
-    mean_balance = sum(0.8 if r["balance_confirmed"] else 0.0 for r in records) / n
-    recon_rate = sum(1 for r in records if r["balance_confirmed"]) / n
-    weighted = (
-        DOCUMENT_WEIGHTS["reconciliation_rate"] * recon_rate
-        + DOCUMENT_WEIGHTS["mean_balance_confidence"] * mean_balance
-        + DOCUMENT_WEIGHTS["mean_direction_confidence"] * mean_direction
-        + DOCUMENT_WEIGHTS["mean_amount_confidence"] * mean_amount
-        + DOCUMENT_WEIGHTS["mean_date_confidence"] * mean_date
-    )
-    return round(weighted, 4), round(recon_rate, 4)
+    Confidences are re-rounded to 4 dp first, matching what the
+    distributed path persists (Decimal(5,4), orchestrator.py:676-678)
+    and therefore what its aggregates average.
+    """
+    tx_dicts = [
+        {
+            "confidence_amount": round(r["confidence_amount"], 4),
+            "confidence_direction": round(r["confidence_direction"], 4),
+            "confidence_date": round(r["confidence_date"], 4),
+            "confidence_balance": 0.8 if r["balance_confirmed"] else 0.0,
+            "balance_confirmed": r["balance_confirmed"],
+            "direction": r["direction"],
+            "amount": r["amount"],
+        }
+        for r in records
+    ]
+    bearing = [s for s in segments if s["n_records"] > 0]
+    opening = bearing[0]["opening_balance"] if bearing else None
+    closing = (bearing[-1]["closing_balance"]
+               if bearing and bearing[-1].get("closing_balance_distinct")
+               else None)
+    result = score_document(tx_dicts, opening_balance=opening,
+                            closing_balance=closing)
+    result["final_status"] = (
+        "COMPLETED"
+        if result["validation_status"] in ("PASS", "PASS_WITH_WARNINGS")
+        else "NEEDS_REVIEW")
+    return result
 
 
 def process_conversation(turns: list[tuple[int, Optional[str]]],
@@ -133,14 +150,14 @@ def process_conversation(turns: list[tuple[int, Optional[str]]],
             "segment_index": seg_idx,
             "opening_balance": result["opening_balance"],
             "closing_balance": result["closing_balance"],
+            "closing_balance_distinct": result["closing_balance_distinct"],
             "n_records": len(result["records"]),
         })
         for rec in result["records"]:
             rec["segment_index"] = seg_idx
             records.append(rec)
 
-    confidence, recon_rate = document_confidence(records)
-    validation_status, final_status = status_from_confidence(confidence)
+    score = score_conversation(records, segments)
 
     conversation = {
         "doc_family": classification["doc_family"],
@@ -150,10 +167,12 @@ def process_conversation(turns: list[tuple[int, Optional[str]]],
         "account_holder_name": customer["account_holder_name"],
         "account_holder_address": customer["account_holder_address"],
         "account_holder_postcode": customer["account_holder_postcode"],
-        "document_confidence": confidence,
-        "reconciliation_rate": recon_rate,
-        "validation_status": validation_status,
-        "final_status": final_status,
+        "document_confidence": score["document_confidence"],
+        "reconciliation_rate": score["reconciliation_rate"],
+        "validation_status": score["validation_status"],
+        "final_status": score["final_status"],
+        "hard_gate_failures": score["hard_gate_failures"],
+        "warnings": score["warnings"],
         "row_count": len(records),
         "n_segments": n_segments,
     }

@@ -73,7 +73,8 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
     direction_source, running_balance, balance_confirmed,
     tolerance_used, confidence_{amount,date,direction}.
     """
-    empty = {"records": [], "opening_balance": None, "closing_balance": None}
+    empty = {"records": [], "opening_balance": None, "closing_balance": None,
+             "closing_balance_distinct": False}
     if not lines:
         return empty
 
@@ -117,9 +118,14 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
         fields["_row"] = row
         raw_transactions.append(fields)
 
-    # opening/closing balance from marker rows (first/last BALANCE cell)
+    # opening/closing balance from marker rows (first/last BALANCE cell,
+    # orchestrator.py:599-612).  n_marker_cells distinguishes a real
+    # closing marker from the first==last single-marker case: the
+    # conversation-level scorer only trusts closing_balance for its
+    # balance-mismatch gate when it came from a distinct later marker.
     opening_balance = None
     closing_balance = None
+    n_marker_cells = 0
     for marker in (r for r in rows if r["is_balance_marker"]):
         for cell in marker["cells"]:
             if roles.get(cell["column_index"]) == ROLE_BALANCE and cell["text"].strip():
@@ -128,6 +134,7 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
                     if opening_balance is None:
                         opening_balance = parsed.amount
                     closing_balance = parsed.amount
+                    n_marker_cells += 1
 
     role_map = {i: r for i, r in roles.items()}
     solver_rows = [_solver_view(tx) for tx in raw_transactions]
@@ -179,4 +186,5 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
 
     return {"records": records,
             "opening_balance": opening_balance,
-            "closing_balance": closing_balance}
+            "closing_balance": closing_balance,
+            "closing_balance_distinct": n_marker_cells >= 2}

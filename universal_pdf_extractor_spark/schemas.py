@@ -114,6 +114,9 @@ CONVERSATIONS_SCHEMA = StructType([
     StructField("reconciliation_rate", DecimalType(5, 4), False),
     StructField("validation_status", StringType(), False),
     StructField("final_status", StringType(), False),
+    # full-scorer surfaces (confidence_scorer.py:72-133)
+    StructField("hard_gate_failures", ArrayType(StringType()), False),
+    StructField("warnings", ArrayType(StringType()), False),
     StructField("row_count", IntegerType(), False),
     StructField("n_segments", IntegerType(), False),
 ])

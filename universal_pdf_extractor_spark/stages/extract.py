@@ -60,6 +60,7 @@ RECORDS_STAGE_SCHEMA = StructType([
     StructField("confidence_direction", DecimalType(5, 4), True),
     StructField("segment_opening_balance", DecimalType(15, 2), True),
     StructField("segment_closing_balance", DecimalType(15, 2), True),
+    StructField("segment_closing_distinct", BooleanType(), False),
 ])
 
 _COLUMNS = [f.name for f in RECORDS_STAGE_SCHEMA.fields]
@@ -107,6 +108,7 @@ def _analyse_into(pdf: pd.DataFrame, conv_id: str, out_rows: list[dict]) -> None
                 "confidence_direction": _conf(rec["confidence_direction"]),
                 "segment_opening_balance": result["opening_balance"],
                 "segment_closing_balance": result["closing_balance"],
+                "segment_closing_distinct": result["closing_balance_distinct"],
             })
 
 

@@ -65,7 +65,9 @@ def run_pipeline(transcripts: DataFrame, persist: bool = False,
         # would execute once per consumer
         from pyspark import StorageLevel
         records_stage = records_stage.persist(StorageLevel.MEMORY_AND_DISK)
-    records = records_stage.drop("segment_opening_balance", "segment_closing_balance")
+    records = records_stage.drop("segment_opening_balance",
+                                 "segment_closing_balance",
+                                 "segment_closing_distinct")
     segments = segments_table(turns_seg, records_stage)
 
     conv_meta = classify_stage(turns_seg)
