@@ -180,6 +180,44 @@ def test_hard_gate_balance_mismatch(spark):
     assert conv["validation_status"] == o["validation_status"]
 
 
+def test_text_grid_fallback_rescues_segment(spark):
+    """Histogram-defeating layout (3 rows, too sparse for column
+    detection) -> text-grid fallback produces records flagged
+    fallback_used / direction_source='text_grid_table'
+    (orchestrator.py:793-930 analogue), identically in Spark output
+    and the kernel oracle."""
+    lines = [
+        "Barclays Bank PLC",
+        f"{'Date':<13} {'Description':<30}{'Paid In':>12}{'Paid Out':>12}",
+        f"{'01/02/2024':<13} {'SALARY ACME LTD':<30}{'1500.00':>12}{'':>12}",
+        f"{'02/02/2024':<13} {'TESCO STORES':<30}{'':>12}{'42.17':>12}",
+        f"{'':<13} {'COSTA COFFEE':<30}{'':>12}{'3.40':>12}",
+    ]
+    import numpy as np
+    pdf = pd.DataFrame([{
+        "conv_id": "conv_fb", "turn_idx": 0, "role": "user",
+        "text": "\n".join(lines), "tool": None,
+        "ts": pd.Timestamp("2024-01-01"),
+    }])
+    pdf["turn_idx"] = pdf["turn_idx"].astype(np.int32)
+    sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    recs = run_pipeline(sdf)["records"].toPandas() \
+        .sort_values("row_index").reset_index(drop=True)
+    assert len(recs) == 3
+    assert recs["fallback_used"].all()
+    assert (recs["direction_source"] == "text_grid_table").all()
+    assert list(recs["direction"]) == ["CREDIT", "DEBIT", "DEBIT"]
+    # dateless third row carries the previous row's date
+    assert recs["posted_date"].iloc[2] == recs["posted_date"].iloc[1]
+    o = process_conversation([(0, "\n".join(lines))])["records"]
+    assert len(o) == len(recs)
+    for g, e in zip(recs.itertuples(), o):
+        assert str(g.amount) == str(e["amount"])
+        assert g.direction == e["direction"]
+        assert g.posted_date == e["posted_date"]
+        assert bool(g.fallback_used) == e["fallback_used"]
+
+
 def test_corpus_exercises_all_paths(oracle):
     """The fixture corpus must cover every branch we claim to test."""
     families = {o["conversation"]["doc_family"] for o in oracle.values()}

@@ -155,6 +155,7 @@ def process_conversation(turns: list[tuple[int, Optional[str]]],
         })
         for rec in result["records"]:
             rec["segment_index"] = seg_idx
+            rec["fallback_used"] = result["fallback_used"]
             records.append(rec)
 
     score = score_conversation(records, segments)

@@ -31,7 +31,8 @@ from typing import Optional
 
 from .amounts import parse_amount
 from .columns import detect_columns
-from .dates import DEFAULT_TODAY
+from .dates import DEFAULT_TODAY, parse_date
+from .patterns import is_summary_row
 from .rows import (
     detect_header_line,
     extract_fields_from_row,
@@ -41,6 +42,211 @@ from .rows import (
 )
 from .semantic import AMOUNT_ROLES, ROLE_BALANCE, ROLE_DATE, assign_column_roles
 from .solver import solve_directions
+
+# ── text-grid fallback (the transcripts analogue of the reference's
+# pdfplumber native-table fallback, orchestrator.py:793-930) ─────────
+#
+# Keyword sets verbatim from the reference header mapper
+# (orchestrator.py:1336-1377 `_map_table_columns`).
+_FB_DATE_KW = ["date", "posted dte"]
+_FB_DESC_KW = ["description", "details", "particulars", "narrative", "transaction"]
+_FB_PAID_IN_KW = ["paid in", "credit", "money in", "deposit", "receipts"]
+_FB_WITHDRAWN_KW = ["withdrawn", "debit", "money out", "paid out", "withdrawal", "payments"]
+_FB_BALANCE_KW = ["balance"]
+_FB_AMOUNT_KW = ["amount"]
+
+import re as _re
+
+_FB_CCY_PREFIX_RE = _re.compile(r"\([a-z]{3}\)\s*")
+_FB_CCY_SYMBOL_RE = _re.compile("[" + chr(163) + chr(36) + chr(8364) + r"]\s*")
+
+
+def _grid_cells(line: dict) -> list[dict]:
+    """Split a tokenized line into cells on >=2-char gaps.
+
+    Token ``start``/``end`` are char offsets into the original turn
+    text, so a gap of >= 2 between consecutive tokens is exactly a
+    multi-space run in the source — the character-grid analogue of
+    pdfplumber's text-strategy vertical splits (snap/join tolerance,
+    orchestrator.py:820-827).
+    """
+    cells: list[dict] = []
+    cur: list[dict] = []
+    prev_end = None
+    for t in line["tokens"]:
+        if prev_end is not None and t["start"] - prev_end >= 2:
+            cells.append(cur)
+            cur = []
+        cur.append(t)
+        prev_end = t["end"]
+    if cur:
+        cells.append(cur)
+    return [
+        {
+            "text": " ".join(t["text"] for t in c),
+            "x_mid": (c[0]["x0"] + c[-1]["x1"]) / 2.0,
+        }
+        for c in cells
+    ]
+
+
+def _map_grid_columns(header_cells: list[dict]) -> dict:
+    """Header cells -> column roles (orchestrator.py:1336-1377)."""
+    result = {"date_col": None, "desc_col": None, "amount_cols": []}
+    for i, cell in enumerate(header_cells):
+        h = cell["text"].lower().strip()
+        if not h:
+            continue
+        h = _FB_CCY_PREFIX_RE.sub("", h).strip()
+        h = _FB_CCY_SYMBOL_RE.sub("", h).strip()
+        if not h:
+            continue
+        if any(kw in h for kw in _FB_DATE_KW) and result["date_col"] is None:
+            result["date_col"] = i
+        elif any(kw in h for kw in _FB_DESC_KW) and result["desc_col"] is None:
+            result["desc_col"] = i
+        elif any(kw in h for kw in _FB_PAID_IN_KW):
+            result["amount_cols"].append({"index": i, "role": "paid_in"})
+        elif any(kw in h for kw in _FB_WITHDRAWN_KW):
+            result["amount_cols"].append({"index": i, "role": "withdrawn"})
+        elif any(kw in h for kw in _FB_BALANCE_KW):
+            result["amount_cols"].append({"index": i, "role": "balance"})
+        elif any(kw in h for kw in _FB_AMOUNT_KW):
+            result["amount_cols"].append({"index": i, "role": "amount"})
+    return result
+
+
+def _grid_col_map_valid(col_map: dict) -> bool:
+    """Reference acceptance rule (orchestrator.py:845-850): date column
+    plus at least one non-balance amount column."""
+    return bool(
+        col_map.get("amount_cols")
+        and col_map.get("date_col") is not None
+        and any(ac["role"] != "balance" for ac in col_map["amount_cols"])
+    )
+
+
+def _assign_cells(header_cells: list[dict], row_cells: list[dict]) -> list[str]:
+    """Nearest-x-midpoint assignment of data cells to header columns.
+
+    pdfplumber hands the reference pre-aligned table columns; the text
+    grid has to re-align ragged rows itself.  Each data cell lands on
+    the header column whose x-midpoint is closest; collisions keep the
+    first (leftmost) cell.
+    """
+    out = [""] * len(header_cells)
+    for cell in row_cells:
+        j = min(range(len(header_cells)),
+                key=lambda i: abs(header_cells[i]["x_mid"] - cell["x_mid"]))
+        if not out[j]:
+            out[j] = cell["text"]
+        else:
+            out[j] += " " + cell["text"]
+    return out
+
+
+def _fallback_grid_records(lines: list[dict], today: date) -> list[dict]:
+    """Delimiter/multi-space grid parse when column detection fails.
+
+    Mirrors the reference pdfplumber fallback row loop
+    (orchestrator.py:838-930): header mapped by keywords (row 0, then
+    row 1), last-date carry for dateless rows, role-driven
+    amount/direction (paid_in -> CREDIT, withdrawn -> DEBIT, balance ->
+    running balance, amount -> sign inference), rows without an amount
+    or matching is_summary_row skipped, fixed fallback confidences
+    (0.80 amount, 0.80/0.30 date, 0.90/0.40 direction,
+    orchestrator.py:957-962) and balance_confirmed=False.
+    """
+    grid = [(ln, _grid_cells(ln)) for ln in lines]
+    grid = [(ln, cells) for ln, cells in grid if cells]
+    if len(grid) < 2:
+        return []
+
+    # pdfplumber hands the reference an already-localized table, so it
+    # only probes table[0] / table[1] for the header
+    # (orchestrator.py:838-858); the text grid has no cropping step, so
+    # the header scan walks the segment for the first line whose cells
+    # map to a valid column set.
+    header_cells = None
+    col_map = None
+    data_start = None
+    for probe, (_, probe_cells) in enumerate(grid):
+        candidate = _map_grid_columns(probe_cells)
+        if _grid_col_map_valid(candidate):
+            header_cells, col_map = probe_cells, candidate
+            data_start = probe + 1
+            break
+    if col_map is None:
+        return []
+
+    records: list[dict] = []
+    last_date = None
+    for ln, cells in grid[data_start:]:
+        row_strs = _assign_cells(header_cells, cells)
+
+        date_val = None
+        raw_date = row_strs[col_map["date_col"]]
+        if raw_date:
+            parsed = parse_date(raw_date, today=today)
+            if parsed.parsed_date:
+                date_val = parsed.parsed_date
+                last_date = date_val
+        if date_val is None and last_date:
+            date_val = last_date
+
+        desc = ""
+        if col_map.get("desc_col") is not None:
+            desc = row_strs[col_map["desc_col"]]
+
+        amount = None
+        direction = "UNKNOWN"
+        balance = None
+        for ac in col_map["amount_cols"]:
+            idx, role = ac["index"], ac["role"]
+            if idx < len(row_strs) and row_strs[idx]:
+                ap = parse_amount(row_strs[idx])
+                if ap.amount is None:
+                    continue
+                if role == "paid_in":
+                    amount = abs(ap.amount)
+                    direction = "CREDIT"
+                elif role == "withdrawn":
+                    amount = abs(ap.amount)
+                    direction = "DEBIT"
+                elif role == "balance":
+                    balance = ap.amount
+                elif role == "amount" and amount is None:
+                    amount = abs(ap.amount)
+                    if ap.amount < 0:
+                        direction = "DEBIT"
+                    elif ap.amount > 0:
+                        direction = "CREDIT"
+
+        if amount is None:
+            continue
+        full_row_text = " ".join(c["text"] for c in cells)
+        if is_summary_row(desc) or is_summary_row(full_row_text):
+            continue
+
+        records.append({
+            "row_index": len(records),
+            "turn_idx": int(ln.get("turn_idx", 0)),
+            "line_indices": [ln.get("line_index", 0)],
+            "posted_date": date_val,
+            "description_raw": desc[:500] if desc else "",
+            "description_clean": (desc[:500] if desc else "").strip(),
+            "amount": Decimal(amount).quantize(Decimal("0.01")),
+            "direction": direction,
+            "direction_source": "text_grid_table",
+            "running_balance": (Decimal(balance).quantize(Decimal("0.01"))
+                                if balance is not None else None),
+            "balance_confirmed": False,
+            "balance_tolerance_used": Decimal("0").quantize(Decimal("0.0001")),
+            "confidence_amount": 0.80,
+            "confidence_date": 0.80 if date_val else 0.30,
+            "confidence_direction": 0.90 if direction != "UNKNOWN" else 0.40,
+        })
+    return records
 
 
 def _solver_view(fields: dict) -> dict:
@@ -74,13 +280,25 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
     tolerance_used, confidence_{amount,date,direction}.
     """
     empty = {"records": [], "opening_balance": None, "closing_balance": None,
-             "closing_balance_distinct": False}
+             "closing_balance_distinct": False, "fallback_used": False}
     if not lines:
         return empty
 
+    all_lines = lines  # pre-header-strip view for the fallback parser
+
+    def _fallback():
+        """pdfplumber-fallback analogue (orchestrator.py:569-578): a
+        text-grid parse rescues the segment before giving up."""
+        records = _fallback_grid_records(all_lines, today)
+        if not records:
+            return empty
+        return {"records": records, "opening_balance": None,
+                "closing_balance": None, "closing_balance_distinct": False,
+                "fallback_used": True}
+
     columns = detect_columns(lines)
     if not columns:
-        return empty
+        return _fallback()
 
     header_idx = detect_header_line(lines)
     header_texts = None
@@ -100,16 +318,17 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
     date_col = next((i for i, r in roles.items() if r == ROLE_DATE), 0)
     amount_cols = [i for i, r in roles.items() if r in AMOUNT_ROLES]
     if not amount_cols:
-        # reference falls back to pdfplumber/tabula/camelot native table
-        # engines here (orchestrator.py:569-578); no raster/PDF path
-        # exists for transcript turns, so the segment yields nothing.
-        return empty
+        # reference cascades to pdfplumber native tables here
+        # (orchestrator.py:569-578); the transcripts analogue is the
+        # text-grid split (the raster engines tabula/camelot stay out
+        # of scope — no PDF bytes exist for transcript turns).
+        return _fallback()
 
     rows = reconstruct_rows(lines, columns, date_col, amount_cols,
                             cells_per_line=cells_per_line)
     transaction_rows = [r for r in rows if not r["is_balance_marker"]]
     if not transaction_rows:
-        return empty
+        return _fallback()
 
     raw_transactions = []
     for row_idx, row in enumerate(transaction_rows):
@@ -184,7 +403,18 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
             "confidence_direction": round(float(tx["direction_confidence"]), 4),
         })
 
+    if not records:
+        # mis-detected column geometry can survive role assignment yet
+        # extract nothing (e.g. one mega-column whose header matches an
+        # amount keyword) — the worst silent failure at corpus scale.
+        # Give the grid fallback the same rescue chance the reference
+        # gives pdfplumber when detection fails outright.
+        rescue = _fallback()
+        if rescue["records"]:
+            return rescue
+
     return {"records": records,
             "opening_balance": opening_balance,
             "closing_balance": closing_balance,
-            "closing_balance_distinct": n_marker_cells >= 2}
+            "closing_balance_distinct": n_marker_cells >= 2,
+            "fallback_used": False}

@@ -87,6 +87,10 @@ RECORDS_SCHEMA = StructType([
     StructField("confidence_amount", DecimalType(5, 4), True),
     StructField("confidence_date", DecimalType(5, 4), True),
     StructField("confidence_direction", DecimalType(5, 4), True),
+    # True when the text-grid fallback parser produced this row
+    # (orchestrator.py:793-930 analogue; direction_source is then
+    # 'text_grid_table')
+    StructField("fallback_used", BooleanType(), False),
 ])
 
 # per-segment metadata (reference `document_segments`, tables.py:95-127)

@@ -58,6 +58,7 @@ RECORDS_STAGE_SCHEMA = StructType([
     StructField("confidence_amount", DecimalType(5, 4), True),
     StructField("confidence_date", DecimalType(5, 4), True),
     StructField("confidence_direction", DecimalType(5, 4), True),
+    StructField("fallback_used", BooleanType(), False),
     StructField("segment_opening_balance", DecimalType(15, 2), True),
     StructField("segment_closing_balance", DecimalType(15, 2), True),
     StructField("segment_closing_distinct", BooleanType(), False),
@@ -106,6 +107,7 @@ def _analyse_into(pdf: pd.DataFrame, conv_id: str, out_rows: list[dict]) -> None
                 "confidence_amount": _conf(rec["confidence_amount"]),
                 "confidence_date": _conf(rec["confidence_date"]),
                 "confidence_direction": _conf(rec["confidence_direction"]),
+                "fallback_used": result["fallback_used"],
                 "segment_opening_balance": result["opening_balance"],
                 "segment_closing_balance": result["closing_balance"],
                 "segment_closing_distinct": result["closing_balance_distinct"],
