@@ -16,8 +16,10 @@ keys with bounded cardinality:
 - simhash:        64-bit weighted-bit fingerprint; near-dups collide
                   on rotated prefix buckets.
 
-Determinism: all hash mixing is arithmetic on xxhash64/crc32 outputs
-of built-in Spark functions — no Python RNG, stable across runs.
+Determinism: all hash mixing is integer arithmetic on a 60-bit
+md5-derived hash — no Python RNG, stable across runs, and (unlike
+xxhash64) computable identically in ANSI SQL, so the minhash/simhash
+outputs are DuckDB-oracle-checkable end to end.
 """
 
 from __future__ import annotations
@@ -26,6 +28,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 MERSENNE_PRIME = (1 << 31) - 1  # 31-bit field: a*h+b stays far below int64 under ANSI mode
+
+# 60-bit cross-engine hash: first 15 hex chars of md5.  Spark and
+# DuckDB produce identical int64 values (verified:
+# conv(substr(md5(s),1,15),16,10) == CAST('0x'||substr(md5(s),1,15) AS
+# BIGINT)), which makes every downstream signature SQL-oracle-able.
+# md5 is slower than xxhash64 but still JVM-side whole-stage codegen;
+# the dedup stages are shuffle-bound, not hash-bound.
+HASH60_HEX_CHARS = 15
+
+
+def hash60(col):
+    """Deterministic 60-bit integer hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, HASH60_HEX_CHARS), 16, 10).cast("long")
+
+
+SIMHASH_BITS = 60  # hash60 provides 60 uniform bits (4 x 15-bit blocks)
 
 
 def normalize_text(col):
@@ -120,7 +138,7 @@ def minhash_signatures(documents: DataFrame,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """(doc_id, signature[num_hashes]) via affine permutations of
-    xxhash64(shingle)."""
+    hash60(shingle)."""
     docs = documents.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), n).alias("shingles"),
@@ -128,7 +146,7 @@ def minhash_signatures(documents: DataFrame,
     hashed = docs.select(
         "doc_id",
         F.transform("shingles",
-                    lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_PRIME))).alias("hs"),
+                    lambda s: F.pmod(hash60(s), F.lit(MERSENNE_PRIME))).alias("hs"),
     )
     # fixed deterministic coefficients: a_i = 2i+1 (odd), b_i mixed
     def _perm(a: int, b: int):
@@ -157,13 +175,16 @@ def minhash_lsh_pairs(documents: DataFrame,
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, num_hashes, n, id_col, text_col)
 
+    # band bucket key: '_'-joined minhash values (engine-neutral exact
+    # key, unlike Spark's murmur hash(); the string is bounded at
+    # rows_per_band * 11 chars)
     banded = sigs.select(
         "doc_id", "signature",
         F.explode(F.array(*[
             F.struct(
                 F.lit(band).alias("band"),
-                F.hash(*[F.col("signature")[band * rows_per_band + r]
-                         for r in range(rows_per_band)]).alias("bucket"),
+                F.concat_ws("_", *[F.col("signature")[band * rows_per_band + r]
+                                   for r in range(rows_per_band)]).alias("bucket"),
             )
             for band in range(bands)
         ])).alias("bb"),
@@ -188,23 +209,24 @@ def minhash_lsh_pairs(documents: DataFrame,
 def simhash_fingerprints(documents: DataFrame,
                          id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word tokens (unit weights).
+    """60-bit SimHash over word tokens (unit weights).
 
     bit_j(fingerprint) = 1 iff sum over tokens of sign(bit_j(h)) > 0.
     Computed columnarly: per bit, count tokens with the bit set vs
-    total, no UDF.
+    total, no UDF.  60 bits (not 64) because the cross-engine hash60
+    provides 60 uniform bits — hamming semantics are unchanged.
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
     hashed = documents.select(
         F.col(id_col).alias("doc_id"),
-        F.transform(words, lambda w: F.xxhash64(w)).alias("hs"),
+        F.transform(words, lambda w: hash60(w)).alias("hs"),
         F.size(words).alias("n_tokens"),
     )
     def _bit_test(j: int):
         return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
 
     bit_terms = []
-    for j in range(64):
+    for j in range(SIMHASH_BITS):
         ones = F.size(F.filter("hs", _bit_test(j)))
         bit = F.when(ones * 2 > F.col("n_tokens"), F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bit_terms.append(F.shiftleft(bit, j))
@@ -218,7 +240,7 @@ def simhash_near_dups(documents: DataFrame,
                       max_hamming: int = 3,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 x 16-bit sub-fingerprints
+    """Near-dup pairs by SimHash: block on 4 x 15-bit sub-fingerprints
     (pigeonhole: hamming<=3 pairs share at least one exact block),
     verify hamming distance exactly."""
     fps = simhash_fingerprints(documents, id_col, text_col)
@@ -226,7 +248,7 @@ def simhash_near_dups(documents: DataFrame,
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(k).alias("block"),
-                     F.shiftright("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+                     F.shiftright("simhash", 15 * k).bitwiseAND(F.lit(0x7FFF)).alias("key"))
             for k in range(4)
         ])).alias("bk"),
     ).select("doc_id", "simhash", "bk.block", "bk.key")

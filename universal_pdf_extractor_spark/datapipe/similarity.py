@@ -145,15 +145,17 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame,
                 .withColumn("cos", cosine_col(F.col("vec"), F.col("cvec"))))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
     assigned = assigned.withColumn("rnk", F.row_number().over(w)).where("rnk = 1")
-    dim_expr = F.size(F.first("vec"))
-    centroids = (assigned.groupBy("centroid_id")
-                 .agg(F.collect_list("vec").alias("members"))
+    # scale-safe Lloyd step: posexplode to (centroid, dim) cells and
+    # avg — state per group is one running mean, never a member list
+    # (collect_list of every member vector would hold an entire
+    # cluster in one aggregation row and OOM at corpus scale)
+    dims = (assigned.select("centroid_id", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("mean")))
+    centroids = (dims.groupBy("centroid_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
                  .select("centroid_id",
-                         F.transform(
-                             F.sequence(F.lit(0), F.size(F.col("members")[0]) - 1),
-                             lambda i: F.aggregate("members", F.lit(0.0),
-                                                   lambda acc, v: acc + v[i])
-                             / F.size("members")).alias("cvec")))
+                         F.transform("pm", lambda s: s["mean"]).alias("cvec")))
 
     inv = (corpus.crossJoin(F.broadcast(centroids))
            .withColumn("cos", cosine_col(F.col("vec"), F.col("cvec"))))

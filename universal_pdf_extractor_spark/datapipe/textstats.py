@@ -117,14 +117,18 @@ def fingerprints(documents: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Polynomial rolling hash over normalized tokens (no UDF).
 
-    fold: h <- (h * BASE + (xxhash64(token) mod M)) mod M, in token
-    order — order-sensitive unlike a bag-of-words hash.
+    fold: h <- (h * BASE + (hash60(token) mod M)) mod M, in token
+    order — order-sensitive unlike a bag-of-words hash.  hash60 (60-bit
+    md5 prefix) rather than xxhash64 so the whole fold is reproducible
+    in ANSI SQL and the driver's DuckDB oracle checks it exactly.
     """
+    from .dedup import hash60
+
     toks = tokens_col(F.lower(F.col(text_col)))
     rolling = F.aggregate(
         toks, F.lit(0).cast("long"),
         lambda acc, t: F.pmod(acc * F.lit(ROLLING_BASE)
-                              + F.pmod(F.xxhash64(t), F.lit(ROLLING_MOD)),
+                              + F.pmod(hash60(t), F.lit(ROLLING_MOD)),
                               F.lit(ROLLING_MOD)),
     )
     return documents.select(

@@ -7,10 +7,24 @@ on both sides; floating outputs are either integers, decimals, or
 divisions of identical inputs (bit-stable across engines); sums use
 DECIMAL casts so distributed accumulation order cannot change values.
 
-Entries without SQL (the transcripts pipeline itself, hash-based
-fingerprints) omit the oracle -> the driver records a rows-only check;
-their value equality is enforced by tests/test_pipeline_e2e.py against
-the single-process oracle instead.
+Entries without SQL omit the oracle -> the driver records a rows-only
+check.  The remaining no-oracle entries, each with its reason:
+
+- transcripts_records / transcripts_conversations /
+  transcripts_segments: depend on the per-segment record extraction,
+  whose balance-chain solver carries sequential `current <- reported`
+  state (balance_solver.py semantics) — inherently not expressible in
+  set-oriented SQL.  Value equality is gated by
+  tests/test_pipeline_e2e.py against the single-process oracle and by
+  the frozen golden fixtures; the SQL-expressible projections
+  (transcripts_turns in full, segment turn ranges) ARE oracle-checked.
+- ann_ivf_topk: the Lloyd step averages doubles with engine- and
+  partitioning-dependent summation order; centroid ulp differences can
+  flip probe sets, so no stable cross-engine oracle exists.  Recall vs
+  brute force is tested instead.
+- transcripts_token_ir: token bboxes need per-match regex character
+  offsets, which DuckDB's regex surface cannot produce.  The token
+  contract (ordering, offsets, geometry) is pinned by test_layout.
 """
 
 from __future__ import annotations
@@ -498,17 +512,92 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
-@register("dedup_minhash_lsh", None)  # hash fns not portable to DuckDB
+# 60-bit cross-engine hash (see datapipe.dedup.hash60): identical
+# int64 in Spark (conv/substring/md5) and DuckDB (CAST '0x..' hex)
+_H60_SQL = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+_MERSENNE = (1 << 31) - 1
+_MH_B_MULT = 0x9E3779B9  # same coefficients as dedup.minhash_signatures
+_MH_B_ADD = 0x85EBCA6B
+
+
+@register("dedup_minhash_lsh", rf"""
+    WITH words AS (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        FROM documents),
+    shingled AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(w) >= 3
+                   THEN list_transform(range(1, len(w) - 1),
+                                       i -> array_to_string(list_slice(w, i, i + 2), ' '))
+                   ELSE [array_to_string(w, ' ')] END) AS shingles
+        FROM words),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(shingles, s -> {_H60_SQL.format(s='s')} % {_MERSENNE}) AS hs
+        FROM shingled),
+    sigs AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), i ->
+                   list_min(list_transform(hs, h ->
+                       (h * (2*i + 1) + ((i * {_MH_B_MULT} + {_MH_B_ADD}) % {_MERSENNE}))
+                       % {_MERSENNE}))) AS signature
+        FROM hashed),
+    banded AS (
+        SELECT doc_id, signature, band,
+               array_to_string(list_slice(signature, band*4 + 1, band*4 + 4), '_') AS bucket
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                        l.signature AS sa, r.signature AS sb
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+    SELECT a, b,
+           ROUND(len(list_filter(range(1, 65), k -> sa[k] = sb[k])) / 64.0, 6)
+               AS est_jaccard
+    FROM cand
+    WHERE len(list_filter(range(1, 65), k -> sa[k] = sb[k])) / 64.0 >= 0.5
+""")
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (shingle->minhash->band->bucket-join).
-    Verified against ngram_jaccard in tests; rows-only here."""
+    The whole cascade — hash60 shingle hashes, 64 affine permutations
+    (a=2i+1, b=i*0x9E3779B9+0x85EBCA6B mod p), 16x4 band keys,
+    candidate join, est_jaccard >= 0.5 — is integer arithmetic, so the
+    oracle reproduces it exactly; recall vs exact jaccard additionally
+    tested in tests/test_entry_contract.py."""
     docs = _read(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.5)
 
 
-@register("dedup_simhash", None)  # xxhash64 not portable to DuckDB
+@register("dedup_simhash", f"""
+    WITH words AS (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+        FROM documents),
+    hs AS (SELECT doc_id,
+                  list_transform(w, tk -> {_H60_SQL.format(s='tk')}) AS hs,
+                  len(w) AS n
+           FROM words),
+    fp AS (SELECT doc_id,
+                  CAST(list_sum(list_transform(range(0, 60), j ->
+                      CASE WHEN 2 * len(list_filter(hs, h -> ((h >> j) & 1) = 1)) > n
+                           THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+           FROM hs),
+    blocked AS (
+        SELECT doc_id, simhash, k AS block,
+               (simhash >> (15 * CAST(k AS INTEGER))) & 32767 AS key
+        FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS k)),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                        l.simhash AS ha, r.simhash AS hb
+        FROM blocked l JOIN blocked r
+          ON l.block = r.block AND l.key = r.key AND l.doc_id < r.doc_id)
+    SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM pairs WHERE bit_count(xor(ha, hb)) <= 6
+""")
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (banded hamming blocking)."""
+    """SimHash near-dup pairs (banded hamming blocking).  All bit
+    arithmetic on hash60 values — exactly reproducible in the oracle."""
     docs = _read(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(docs, max_hamming=6)
 
@@ -572,15 +661,77 @@ def dedup_embedding_cosine(spark, sf_dir):
             .select("a", "b", F.round("cosine", 6).alias("cosine")))
 
 
-@register("ann_lsh_topk", None)  # approximate path; recall checked in tests
+_LSH_DIM = 64       # testdata embedding dimension (all scale factors)
+_LSH_PLANES = 4
+_LSH_TABLES = 8
+
+
+def _ann_lsh_sql() -> str:
+    """Oracle for the hyperplane-LSH top-k: the hyperplanes are
+    deterministic (seeded numpy), so their exact float values are
+    inlined as SQL literals; projections use a sequential left fold
+    (list_reduce) matching Spark's F.aggregate order bit-for-bit, so
+    bucket signs — and therefore candidate sets — agree exactly."""
+    from .datapipe.similarity import _hyperplanes
+
+    def fold_dot(vec: str, lits: list[float]) -> str:
+        arr = "[" + ", ".join(repr(float(c)) for c in lits) + "]"
+        return (f"list_reduce(list_prepend(0.0, list_transform(range(1, {_LSH_DIM + 1}),"
+                f" i -> {vec}[i] * ({arr})[i])), (a, x) -> a + x)")
+
+    def bucket(vec: str, t: int) -> str:
+        planes = _hyperplanes(_LSH_DIM, _LSH_PLANES, seed=7 + t)
+        bits = [f"(CASE WHEN {fold_dot(vec, p)} >= 0 THEN {1 << j} ELSE 0 END)"
+                for j, p in enumerate(planes)]
+        return " + ".join(bits)
+
+    c_branches = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {bucket('v', t)} AS bucket FROM corpus"
+        for t in range(_LSH_TABLES))
+    q_branches = " UNION ALL ".join(
+        f"SELECT query_id, qv, {t} AS tbl, {bucket('qv', t)} AS bucket FROM q"
+        for t in range(_LSH_TABLES))
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 5),
+    cb AS ({c_branches}),
+    qb AS ({q_branches}),
+    cand AS (
+        SELECT DISTINCT qb.query_id, qb.qv, cb.vec_id, cb.v
+        FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+        WHERE cb.vec_id <> qb.query_id),
+    scored AS (
+        SELECT query_id, vec_id,
+               list_sum(list_transform(range(1, {_LSH_DIM + 1}), i -> v[i] * qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+        FROM cand),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored)
+    SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@register("ann_lsh_topk", _ann_lsh_sql())
 def ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH top-k; fully oracle-checked (deterministic
+    planes + order-exact folds) and recall-tested vs brute force."""
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    dim = len(emb.select("embedding").first()[0])
     # wide-recall config: 16 buckets x 8 tables (random embeddings have
     # weak neighbourhood structure, so candidate sets must stay broad)
-    return similarity.lsh_topk(emb, q, k=10, n_planes=4, tables=8, dim=dim)
+    return similarity.lsh_topk(emb, q, k=10, n_planes=_LSH_PLANES,
+                               tables=_LSH_TABLES, dim=_LSH_DIM)
 
 
 @register("ann_ivf_topk", None)  # approximate IVF path (scale variant)
@@ -632,35 +783,201 @@ def text_quality_scores(spark, sf_dir):
     return q.select("doc_id", "n_chars", "n_tokens", "digit_ratio")
 
 
-@register("text_language_id", None)  # heuristic profile tables live Spark-side
+def _lang_id_sql() -> str:
+    """DuckDB oracle generated from the same LANG_PROFILES table:
+    argmax hit-rate with first-seen tie-break, 'und' at rate 0."""
+    from .datapipe.textstats import LANG_PROFILES
+    langs = list(LANG_PROFILES)
+    rate_cols = []
+    for lang, words in LANG_PROFILES.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        rate_cols.append(
+            f"len(list_filter(toks, x -> list_contains([{lst}], x)))"
+            f" / greatest(len(toks), 1)::DOUBLE AS r_{lang}")
+    best_when, lang_when = [], []
+    for i, lang in enumerate(langs):
+        cond = " AND ".join(f"r_{lang} >= r_{o}" for o in langs[i + 1:]) or "TRUE"
+        best_when.append(f"WHEN {cond} THEN r_{lang}")
+        lang_when.append(f"WHEN {cond} THEN '{lang}'")
+    norm = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN {norm} = '' THEN []::VARCHAR[]
+                    ELSE list_transform(string_split({norm}, ' '), x -> lower(x))
+               END AS toks
+        FROM documents),
+    r AS (SELECT doc_id, {', '.join(rate_cols)} FROM t)
+    SELECT doc_id,
+           CASE WHEN best > 0 THEN lang ELSE 'und' END AS lang_guess,
+           ROUND(best, 6) AS stopword_hit_rate
+    FROM (SELECT doc_id,
+                 CASE {' '.join(best_when)} END AS best,
+                 CASE {' '.join(lang_when)} END AS lang
+          FROM r)
+    """
+
+
+@register("text_language_id", _lang_id_sql())
 def text_language_id(spark, sf_dir):
+    """Language-ID heuristic; oracle generated from the same profile
+    table (pure count/division column math, engine-exact)."""
     docs = _read(spark, sf_dir, "documents")
     return textstats.language_id(docs)
 
 
-@register("text_fingerprints", None)  # xxhash64 not portable to DuckDB
+@register("text_fingerprints", f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+                    THEN []::VARCHAR[]
+                    ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               END AS toks,
+               sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_sha256
+        FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform(toks, tk -> {_H60_SQL.format(s='tk')} % {_MERSENNE})),
+             (acc, x) -> (acc * 131 + x) % {_MERSENNE}) AS fingerprint,
+           content_sha256
+    FROM t
+""")
 def text_fingerprints(spark, sf_dir):
+    """Rolling-hash fingerprint + content sha256; the hash60-based
+    fold is integer arithmetic, reproduced exactly by the oracle."""
     docs = _read(spark, sf_dir, "documents")
     return textstats.fingerprints(docs)
 
 
-# ───────────────────── transcripts pipeline (rows-only) ─────────────
+# ───────────────────── transcripts pipeline ─────────────────────────
+
+# The synthetic transcripts corpus is not part of the driver's parquet
+# tables, so the transcripts queries snapshot their (deterministic)
+# input here; the oracle SQL reads the same snapshot.  The driver runs
+# each query before its oracle, so the write always precedes the read.
+TRANSCRIPTS_SNAPSHOT = "/tmp/updx_oracle_inputs/transcripts.parquet"
+
 
 def _pipeline_outputs(spark, sf_dir):
     sf = sf_from_dir(sf_dir)
     n_convs = min(n_convs_for_sf(sf), 2_000)  # cap correctness-run size
-    transcripts = transcripts_sdf(spark, n_convs)
+    transcripts_sdf(spark, n_convs).write.mode("overwrite") \
+        .parquet(TRANSCRIPTS_SNAPSHOT)
+    transcripts = spark.read.parquet(TRANSCRIPTS_SNAPSHOT)
     return run_pipeline(transcripts)
 
 
-@register("transcripts_turns", None)
+def _sql_regex(pattern: str) -> str:
+    """Escape a Java/RE2-compatible regex for a DuckDB string literal."""
+    return pattern.replace("'", "''")
+
+
+def _turns_view_sql() -> str:
+    """Shared CTE chain: raw transcripts snapshot -> per-turn view
+    (payload routing, whitespace-normalized lines, top-band text,
+    boundary flags, running segment index) — the tokenize+segment
+    stages re-derived independently in SQL from the same pattern
+    tables (kernels/patterns.py; layout.py turn_view semantics)."""
+    from .kernels.patterns import (
+        ACCOUNT_HEADER_RLIKE,
+        BALANCE_MARKER_RLIKE,
+        OPENING_BALANCE_RLIKE,
+        STATEMENT_PERIOD_RLIKE,
+        SUMMARY_ROW_RLIKE,
+    )
+    boiler = _sql_regex(f"(?:{BALANCE_MARKER_RLIKE})|(?:{SUMMARY_ROW_RLIKE})")
+    # boundary score >= 0.8 <=> at least one strong 1.0 signal group
+    # matches (period/opening/account); the page-number signal alone
+    # contributes 0.4 < 0.8 (segmenter.py:49-96 semantics)
+    strong = _sql_regex(f"(?:{STATEMENT_PERIOD_RLIKE})|(?:{OPENING_BALANCE_RLIKE})"
+                        f"|(?:{ACCOUNT_HEADER_RLIKE})")
+    return rf"""
+    turns_in AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN text IS NOT NULL AND text <> '' THEN 'TEXT'
+                    WHEN tool IS NOT NULL AND tool <> '' THEN 'TOOL'
+                    ELSE 'EMPTY' END AS extraction_path,
+               CASE WHEN text IS NOT NULL AND text <> '' THEN text
+                    WHEN tool IS NOT NULL AND tool <> '' THEN tool
+                    ELSE '' END AS payload
+        FROM read_parquet('{TRANSCRIPTS_SNAPSHOT}/*.parquet')),
+    turn_lines AS (
+        SELECT conv_id, turn_idx, extraction_path,
+               list_transform(string_split(payload, chr(10)),
+                              l -> trim(regexp_replace(l, '\s+', ' ', 'g'))) AS all_lines
+        FROM turns_in),
+    turn_view AS (
+        SELECT conv_id, turn_idx, extraction_path,
+               list_filter(all_lines, l -> l <> '') AS norm_lines,
+               lower(array_to_string(
+                   list_filter(list_transform(range(1, least(len(all_lines), 12) + 1),
+                                              i -> all_lines[i]),
+                               l -> l <> ''), ' ')) AS top_text
+        FROM turn_lines),
+    turn_scored AS (
+        SELECT conv_id, turn_idx, extraction_path, norm_lines,
+               (ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) = 1
+                OR regexp_matches(top_text, '{strong}')) AS is_boundary
+        FROM turn_view),
+    turn_segmented AS (
+        SELECT conv_id, turn_idx, extraction_path,
+               coalesce(array_to_string(list_filter(norm_lines,
+                   l -> NOT regexp_matches(lower(l), '{boiler}')), chr(10)), '') AS clean_text,
+               CAST(SUM(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS segment_index,
+               CAST(len(norm_lines) AS INT) AS n_lines,
+               CAST(coalesce(list_sum(list_transform(norm_lines,
+                   l -> len(string_split(l, ' ')))), 0) AS INT) AS n_tokens
+        FROM turn_scored)
+    """
+
+
+@register("transcripts_turns", None)  # SQL attached below via _attach_turns_sql
 def transcripts_turns(spark, sf_dir):
     """Flagship: per-turn main-content extraction (clean_text + spans).
-    Value equality vs the reference-semantics oracle is gated by
+    The oracle re-derives the tokenize+segment semantics in SQL from
+    the same pattern tables over the snapshotted input — an
+    independent engine computing the north-rule per-turn surface.
+    Spans/raw_text value equality is additionally gated by
     tests/test_pipeline_e2e.py."""
     out = _pipeline_outputs(spark, sf_dir)["turns"]
     return out.select("conv_id", "turn_idx", "extraction_path", "clean_text",
                       "segment_index", "n_lines", "n_tokens")
+
+
+@register("transcripts_segment_ranges", None)  # SQL attached below
+def transcripts_segment_ranges(spark, sf_dir):
+    """J2/C4 segment ranges (document_segments turn spans) — the
+    SQL-expressible projection of the segments table."""
+    out = _pipeline_outputs(spark, sf_dir)["segments"]
+    return out.select("conv_id", "segment_index", "start_turn", "end_turn")
+
+
+def _attach_turns_sql() -> None:
+    """Attach the transcripts-view oracles (built from the pattern
+    tables at import time; registered post-hoc so the shared CTE is
+    defined once)."""
+    view = _turns_view_sql()
+    fn, _ = _REGISTRY["transcripts_turns"]
+    _REGISTRY["transcripts_turns"] = (fn, f"""
+    WITH {view}
+    SELECT conv_id, turn_idx, extraction_path, clean_text,
+           segment_index, n_lines, n_tokens
+    FROM turn_segmented
+""")
+    fn, _ = _REGISTRY["transcripts_segment_ranges"]
+    _REGISTRY["transcripts_segment_ranges"] = (fn, f"""
+    WITH {view}
+    SELECT conv_id, segment_index,
+           CAST(MIN(turn_idx) AS INT) AS start_turn,
+           CAST(MAX(turn_idx) AS INT) AS end_turn
+    FROM turn_segmented
+    GROUP BY conv_id, segment_index
+""")
+
+
+_attach_turns_sql()
 
 
 @register("transcripts_records", None)
