@@ -73,6 +73,12 @@ def test_records_match_golden(outputs, golden):
             assert bool(r["balance_confirmed"]) == e["balance_confirmed"], key
             assert (str(r["running_balance"]) if r["running_balance"] is not None else None) \
                 == e["running_balance"], key
+            if "evidence" in e:
+                got_ev = [(v["field"], v["turn_idx"], v["start"], v["end"])
+                          for v in r["evidence"]]
+                exp_ev = [(v["field"], v["turn_idx"], v["start"], v["end"])
+                          for v in e["evidence"]]
+                assert got_ev == exp_ev, key
 
 
 def test_conversations_match_golden(outputs, golden):

@@ -85,6 +85,13 @@ def test_records_equality(outputs, oracle):
             assert float(g.confidence_direction) == round(e["confidence_direction"], 4), key
             assert float(g.confidence_amount) == round(e["confidence_amount"], 4), key
             assert float(g.confidence_date) == round(e["confidence_date"], 4), key
+            got_ev = [(v["field"], v["turn_idx"], v["start"], v["end"])
+                      for v in g.evidence]
+            exp_ev = [(v["field"], v["turn_idx"], v["start"], v["end"])
+                      for v in e["evidence"]]
+            assert got_ev == exp_ev, key
+            # spans must slice real field text out of the source turn
+            assert all(v["end"] > v["start"] for v in e["evidence"]), key
 
 
 def test_conversations_equality(outputs, oracle):

@@ -100,12 +100,13 @@ def make_column_assigner(columns: list[dict]):
 def assign_line_to_cells(line: dict, columns: list[dict], assigner=None) -> list[dict]:
     """Group a line's tokens into per-column cells.
 
-    Cell: {text, column_index}.  The reference also materializes a
-    cell envelope bbox + mean confidence (table_extractor.py:205-211),
-    but nothing downstream of cell assembly ever reads them (field
-    extraction, stats, marker scans all consume text+column only, and
-    the reference never persists its transaction_evidence rows), so
-    they are omitted here — pure dead weight at 10^12-turn scale.
+    Cell: {text, column_index, turn_idx, start, end} — start/end are
+    char offsets of the cell's token span into its ORIGINAL turn text
+    (the transaction_evidence analogue, tables.py:388-420: the
+    reference stores a bbox per extracted field; the transcripts graft
+    stores the provenance span instead).  The reference's cell
+    envelope bbox + mean confidence (table_extractor.py:205-211) stay
+    omitted: nothing downstream reads them.
     """
     if assigner is None:
         assigner = lambda t: assign_token_to_column(t, columns)  # noqa: E731
@@ -113,6 +114,7 @@ def assign_line_to_cells(line: dict, columns: list[dict], assigner=None) -> list
     for token in line["tokens"]:
         cell_tokens.setdefault(assigner(token), []).append(token)
 
+    turn_idx = line.get("turn_idx")
     cells = []
     for col_idx in sorted(cell_tokens):
         toks = cell_tokens[col_idx]
@@ -121,5 +123,8 @@ def assign_line_to_cells(line: dict, columns: list[dict], assigner=None) -> list
         cells.append({
             "text": " ".join(t["text"] for t in toks),
             "column_index": col_idx,
+            "turn_idx": turn_idx,
+            "start": toks[0].get("start"),
+            "end": toks[-1].get("end"),
         })
     return cells

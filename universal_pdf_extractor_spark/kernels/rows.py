@@ -155,7 +155,21 @@ def extract_fields_from_row(row: dict, roles: dict[int, str], today=DEFAULT_TODA
         "direction": "UNKNOWN", "direction_source": "",
         "amount_confidence": 0.8, "date_confidence": 0.8,
         "direction_confidence": 0.5,
+        # per-field provenance spans (transaction_evidence analogue,
+        # tables.py:388-420): (field, turn_idx, start, end) per
+        # consumed cell, offsets into the original turn text
+        "evidence": [],
     }
+
+    def _evidence(field: str, cell: dict) -> None:
+        if cell.get("start") is None:
+            return
+        result["evidence"].append({
+            "field": field,
+            "turn_idx": int(cell.get("turn_idx") or 0),
+            "start": int(cell["start"]),
+            "end": int(cell["end"]),
+        })
 
     seen_cols: set[int] = set()
     unique_cells = []
@@ -167,6 +181,9 @@ def extract_fields_from_row(row: dict, roles: dict[int, str], today=DEFAULT_TODA
     for cell in unique_cells:
         role = roles.get(cell["column_index"], "UNKNOWN")
         text = cell["text"].strip()
+        if text and role in ("DATE", "DESCRIPTION", "DEBIT", "CREDIT",
+                             "SINGLE_AMOUNT", "BALANCE"):
+            _evidence({"SINGLE_AMOUNT": "amount"}.get(role, role.lower()), cell)
 
         if role == "DATE":
             result["raw_date"] = text

@@ -85,6 +85,8 @@ def _grid_cells(line: dict) -> list[dict]:
         {
             "text": " ".join(t["text"] for t in c),
             "x_mid": (c[0]["x0"] + c[-1]["x1"]) / 2.0,
+            "start": c[0].get("start"),
+            "end": c[-1].get("end"),
         }
         for c in cells
     ]
@@ -134,15 +136,17 @@ def _assign_cells(header_cells: list[dict], row_cells: list[dict]) -> list[str]:
     the header column whose x-midpoint is closest; collisions keep the
     first (leftmost) cell.
     """
-    out = [""] * len(header_cells)
+    out = [None] * len(header_cells)
     for cell in row_cells:
         j = min(range(len(header_cells)),
                 key=lambda i: abs(header_cells[i]["x_mid"] - cell["x_mid"]))
-        if not out[j]:
-            out[j] = cell["text"]
+        if out[j] is None:
+            out[j] = dict(cell)
         else:
-            out[j] += " " + cell["text"]
-    return out
+            out[j]["text"] += " " + cell["text"]
+            out[j]["end"] = cell.get("end", out[j]["end"])
+    return [c if c is not None else {"text": "", "start": None, "end": None}
+            for c in out]
 
 
 def _fallback_grid_records(lines: list[dict], today: date) -> list[dict]:
@@ -182,45 +186,61 @@ def _fallback_grid_records(lines: list[dict], today: date) -> list[dict]:
     records: list[dict] = []
     last_date = None
     for ln, cells in grid[data_start:]:
-        row_strs = _assign_cells(header_cells, cells)
+        row_cells = _assign_cells(header_cells, cells)
+        turn = int(ln.get("turn_idx", 0))
+        evidence: list[dict] = []
+
+        def _ev(field: str, cell: dict) -> None:
+            if cell.get("start") is not None:
+                evidence.append({"field": field, "turn_idx": turn,
+                                 "start": int(cell["start"]),
+                                 "end": int(cell["end"])})
 
         date_val = None
-        raw_date = row_strs[col_map["date_col"]]
-        if raw_date:
-            parsed = parse_date(raw_date, today=today)
+        date_cell = row_cells[col_map["date_col"]]
+        if date_cell["text"]:
+            parsed = parse_date(date_cell["text"], today=today)
             if parsed.parsed_date:
                 date_val = parsed.parsed_date
                 last_date = date_val
+                _ev("date", date_cell)
         if date_val is None and last_date:
             date_val = last_date
 
         desc = ""
         if col_map.get("desc_col") is not None:
-            desc = row_strs[col_map["desc_col"]]
+            desc_cell = row_cells[col_map["desc_col"]]
+            desc = desc_cell["text"]
+            if desc:
+                _ev("description", desc_cell)
 
         amount = None
         direction = "UNKNOWN"
         balance = None
         for ac in col_map["amount_cols"]:
             idx, role = ac["index"], ac["role"]
-            if idx < len(row_strs) and row_strs[idx]:
-                ap = parse_amount(row_strs[idx])
+            if idx < len(row_cells) and row_cells[idx]["text"]:
+                ap = parse_amount(row_cells[idx]["text"])
                 if ap.amount is None:
                     continue
                 if role == "paid_in":
                     amount = abs(ap.amount)
                     direction = "CREDIT"
+                    _ev("credit", row_cells[idx])
                 elif role == "withdrawn":
                     amount = abs(ap.amount)
                     direction = "DEBIT"
+                    _ev("debit", row_cells[idx])
                 elif role == "balance":
                     balance = ap.amount
+                    _ev("balance", row_cells[idx])
                 elif role == "amount" and amount is None:
                     amount = abs(ap.amount)
                     if ap.amount < 0:
                         direction = "DEBIT"
                     elif ap.amount > 0:
                         direction = "CREDIT"
+                    _ev("amount", row_cells[idx])
 
         if amount is None:
             continue
@@ -245,6 +265,7 @@ def _fallback_grid_records(lines: list[dict], today: date) -> list[dict]:
             "confidence_amount": 0.80,
             "confidence_date": 0.80 if date_val else 0.30,
             "confidence_direction": 0.90 if direction != "UNKNOWN" else 0.40,
+            "evidence": evidence,
         })
     return records
 
@@ -401,6 +422,7 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
             "confidence_amount": round(float(tx["amount_confidence"]), 4),
             "confidence_date": round(float(tx["date_confidence"]), 4),
             "confidence_direction": round(float(tx["direction_confidence"]), 4),
+            "evidence": tx["evidence"],
         })
 
     if not records:

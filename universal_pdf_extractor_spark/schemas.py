@@ -91,6 +91,14 @@ RECORDS_SCHEMA = StructType([
     # (orchestrator.py:793-930 analogue; direction_source is then
     # 'text_grid_table')
     StructField("fallback_used", BooleanType(), False),
+    # per-field provenance spans (transaction_evidence analogue,
+    # tables.py:388-420): char offsets into the source turn's text
+    StructField("evidence", ArrayType(StructType([
+        StructField("field", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("start", IntegerType(), False),
+        StructField("end", IntegerType(), False),
+    ])), False),
 ])
 
 # per-segment metadata (reference `document_segments`, tables.py:95-127)

@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DateType,
     DecimalType,
@@ -40,6 +41,14 @@ from pyspark.sql.types import (
 
 from ..kernels.layout import tokenize_turn
 from ..kernels.segment_extract import analyse_segment
+
+# per-field provenance (transaction_evidence analogue, tables.py:388-420)
+EVIDENCE_TYPE = StructType([
+    StructField("field", StringType(), False),
+    StructField("turn_idx", IntegerType(), False),
+    StructField("start", IntegerType(), False),
+    StructField("end", IntegerType(), False),
+])
 
 RECORDS_STAGE_SCHEMA = StructType([
     StructField("conv_id", StringType(), False),
@@ -59,6 +68,7 @@ RECORDS_STAGE_SCHEMA = StructType([
     StructField("confidence_date", DecimalType(5, 4), True),
     StructField("confidence_direction", DecimalType(5, 4), True),
     StructField("fallback_used", BooleanType(), False),
+    StructField("evidence", ArrayType(EVIDENCE_TYPE), False),
     StructField("segment_opening_balance", DecimalType(15, 2), True),
     StructField("segment_closing_balance", DecimalType(15, 2), True),
     StructField("segment_closing_distinct", BooleanType(), False),
@@ -108,6 +118,8 @@ def _analyse_into(pdf: pd.DataFrame, conv_id: str, out_rows: list[dict]) -> None
                 "confidence_date": _conf(rec["confidence_date"]),
                 "confidence_direction": _conf(rec["confidence_direction"]),
                 "fallback_used": result["fallback_used"],
+                "evidence": [(e["field"], e["turn_idx"], e["start"], e["end"])
+                             for e in rec["evidence"]],
                 "segment_opening_balance": result["opening_balance"],
                 "segment_closing_balance": result["closing_balance"],
                 "segment_closing_distinct": result["closing_balance_distinct"],
