@@ -10,8 +10,11 @@ import pytest
 
 from universal_pdf_extractor_spark.io.fixtures import generate_transcripts
 from universal_pdf_extractor_spark.io.manifest import (
+    PIPELINE_VERSION,
     committed_groups,
+    latest_run,
     manifest_path,
+    run_history,
     run_with_resume,
 )
 from universal_pdf_extractor_spark.schemas import TRANSCRIPTS_SCHEMA
@@ -35,12 +38,22 @@ def test_full_run_then_exact_resume(spark, corpus, tmp_path_factory):
     turns_all = spark.read.parquet(os.path.join(out, "turns")).count()
     assert turns_all == corpus.count()
 
-    # manifests carry lineage metrics
+    # manifests carry lineage metrics + run identity
     with open(manifest_path(out, 0)) as fh:
         m = json.load(fh)
     assert m["input_rows"] > 0
     assert set(m["outputs"]) == {"turns", "records", "segments", "conversations"}
     assert all("rows" in v and "xor64" in v for v in m["outputs"].values())
+    assert m["run_id"] == s1["run_id"]
+    assert m["pipeline_version"] == PIPELINE_VERSION
+
+    # outputs carry the run_id column; registry reconstructs is_latest
+    turns_df = spark.read.parquet(os.path.join(out, "turns"))
+    assert set(turns_df.select("run_id").distinct().toPandas()["run_id"]) \
+        == {s1["run_id"]}
+    reg = latest_run(out)
+    assert reg["run_id"] == s1["run_id"]
+    assert reg["engine_versions"]["engine"] == PIPELINE_VERSION
 
     # simulate a crash that lost group 2: drop its manifest + outputs
     os.remove(manifest_path(out, 2))
@@ -51,12 +64,15 @@ def test_full_run_then_exact_resume(spark, corpus, tmp_path_factory):
     assert s2["processed"] == [2]
     assert sorted(s2["skipped"]) == [0, 1, 3]
 
-    # after resume the dataset is whole again and checksums match the
-    # first run (idempotent recompute)
+    # after resume the dataset is whole again and group 2 carries the
+    # NEW run's identity (reprocessing history reconstructable)
     assert spark.read.parquet(os.path.join(out, "turns")).count() == turns_all
     with open(manifest_path(out, 2)) as fh:
         m2 = json.load(fh)
     assert m2["outputs"]["turns"]["rows"] > 0
+    assert m2["run_id"] == s2["run_id"] != s1["run_id"]
+    assert [r["run_id"] for r in run_history(out)] == [s1["run_id"], s2["run_id"]]
+    assert latest_run(out)["run_id"] == s2["run_id"]
 
 
 def test_noop_when_all_committed(spark, corpus, tmp_path_factory):

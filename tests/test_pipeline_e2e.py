@@ -104,6 +104,7 @@ def test_conversations_equality(outputs, oracle):
         assert math.isclose(float(g["doc_family_confidence"]),
                             e["doc_family_confidence"], abs_tol=1e-4), conv_id
         assert (g["provider"] if pd.notna(g["provider"]) else None) == e["provider"], conv_id
+        assert g["currency"] == e["currency"], conv_id
         got_name = g["account_holder_name"] if pd.notna(g["account_holder_name"]) else None
         assert got_name == e["account_holder_name"], conv_id
         got_pc = g["account_holder_postcode"] if pd.notna(g["account_holder_postcode"]) else None
@@ -225,6 +226,22 @@ def test_text_grid_fallback_rescues_segment(spark):
         assert bool(g.fallback_used) == e["fallback_used"]
 
 
+def test_tool_path_confidence_tier(outputs):
+    """S6: the TOOL (OCR-analogue) path reports a distinct sub-0.95
+    confidence tier; TEXT stays at the pdfplumber fixed 0.95
+    (tesseract_engine.py:195-212 vs pdfplumber_engine.py:125)."""
+    turns = outputs["turns"]
+    with_tokens = turns[turns["n_tokens"] > 0]
+    text_confs = set(with_tokens[with_tokens["extraction_path"] == "TEXT"]
+                     ["mean_token_confidence"])
+    tool_confs = set(with_tokens[with_tokens["extraction_path"] == "TOOL"]
+                     ["mean_token_confidence"])
+    assert text_confs == {0.95}
+    assert tool_confs == {0.88}
+    empty = turns[turns["n_tokens"] == 0]
+    assert set(empty["mean_token_confidence"]) <= {0.0}
+
+
 def test_corpus_exercises_all_paths(oracle):
     """The fixture corpus must cover every branch we claim to test."""
     families = {o["conversation"]["doc_family"] for o in oracle.values()}
@@ -239,3 +256,12 @@ def test_corpus_exercises_all_paths(oracle):
     assert confirmed > 50
     providers = {o["conversation"]["provider"] for o in oracle.values()}
     assert len(providers) >= 3
+
+
+def test_detect_currency_kernel():
+    from universal_pdf_extractor_spark.kernels.classify import detect_currency
+    assert detect_currency("no markers at all") == "GBP"
+    assert detect_currency("Paid $10 then $20 and 5 usd") == "USD"
+    assert detect_currency("Betrag: 10€ plus 20 EUR") == "EUR"
+    assert detect_currency("£5 and $5") == "GBP"  # tie -> first-seen priority
+    assert detect_currency("GBP 100.00 balance") == "GBP"

@@ -13,6 +13,12 @@ delete-before-rewrite idempotency + per-document status machine
 The manifest is committed AFTER the data writes succeed (write to a
 temp name, atomic rename), so a crash mid-group leaves no manifest
 and the group is redone idempotently (mode=overwrite per group dir).
+
+Run identity (extraction_runs analogue, tables.py:184-246): every
+invocation carries a run_id + pipeline_version + engine versions;
+group manifests record which run committed them, output rows carry a
+run_id column, and ``runs.jsonl`` is the append-only run registry —
+``latest_run`` reconstructs the reference's is_latest flag (J4).
 """
 
 from __future__ import annotations
@@ -20,24 +26,44 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 MANIFEST_DIR = "_manifests"
+RUNS_LOG = "runs.jsonl"
+PIPELINE_VERSION = "0.2.0"
+
+
+def engine_versions() -> dict:
+    import pyspark
+    return {"engine": PIPELINE_VERSION, "pyspark": pyspark.__version__}
 
 
 def bucket_of(conv_id_col, n_groups: int):
     return F.pmod(F.xxhash64(conv_id_col), F.lit(n_groups))
 
 
+def count_and_checksum(df: DataFrame) -> tuple[int, int]:
+    """(row count, order-insensitive 64-bit checksum) in ONE job.
+
+    Computed from the (cached-lineage) frame rather than by re-reading
+    the freshly written parquet: the write either committed or raised,
+    so a read-back verifies the filesystem, not the data — at the cost
+    of two extra full scans per group.
+    """
+    h = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+    row = df.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("x")).first()
+    return int(row["n"]), int(row["x"])
+
+
 def checksum(df: DataFrame) -> int:
     """Order-insensitive 64-bit checksum over all columns."""
-    h = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
-    agg = df.select(h.alias("h")).agg(
-        F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("x"))
-    return int(agg.first()["x"])
+    return count_and_checksum(df)[1]
 
 
 def manifest_path(out_dir: str, group: int) -> str:
@@ -64,25 +90,55 @@ def commit_manifest(out_dir: str, group: int, payload: dict) -> None:
     os.replace(tmp, path)  # atomic commit
 
 
+def record_run(out_dir: str, entry: dict) -> None:
+    """Append one run to the registry (extraction_runs analogue)."""
+    path = os.path.join(out_dir, MANIFEST_DIR, RUNS_LOG)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "a") as fh:
+        fh.write(json.dumps(entry, sort_keys=True) + "\n")
+
+
+def run_history(out_dir: str) -> list[dict]:
+    path = os.path.join(out_dir, MANIFEST_DIR, RUNS_LOG)
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def latest_run(out_dir: str) -> Optional[dict]:
+    """The registry's newest entry — outputs whose run_id column equals
+    latest_run()['run_id'] are the is_latest rows (tables.py:184-246)."""
+    hist = run_history(out_dir)
+    return hist[-1] if hist else None
+
+
 def run_with_resume(transcripts: DataFrame,
                     out_dir: str,
                     n_groups: int = 8,
                     run_pipeline_fn=None,
                     tables: Optional[list[str]] = None,
-                    with_checksums: bool = True) -> dict:
+                    with_checksums: bool = True,
+                    run_id: Optional[str] = None) -> dict:
     """Process bucket groups not yet committed; return a run summary.
 
     Each group is an independent, idempotent unit of work: outputs are
     overwritten per group directory and the manifest is the commit
     marker.  n_groups controls both resume granularity and how much of
     the corpus a single failure costs.
+
+    Output rows carry a ``run_id`` column; group manifests and the
+    runs.jsonl registry record which run committed what, so
+    reprocessing history is reconstructable from the tables alone.
     """
     if run_pipeline_fn is None:
         from ..stages.pipeline import run_pipeline as run_pipeline_fn
     tables = tables or ["turns", "records", "segments", "conversations"]
+    run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
 
     done = committed_groups(out_dir)
-    summary = {"n_groups": n_groups, "skipped": sorted(done), "processed": []}
+    summary = {"n_groups": n_groups, "skipped": sorted(done),
+               "processed": [], "run_id": run_id}
 
     bucketed = transcripts.withColumn("_grp", bucket_of(F.col("conv_id"), n_groups))
 
@@ -94,22 +150,32 @@ def run_with_resume(transcripts: DataFrame,
         outputs = run_pipeline_fn(part, persist=True)
         cached = [outputs.pop(k) for k in list(outputs) if k.startswith("_")]
         input_rows = part.count()
-        meta: dict = {"group": g, "input_rows": input_rows, "outputs": {}}
+        meta: dict = {"group": g, "input_rows": input_rows, "outputs": {},
+                      "run_id": run_id, "pipeline_version": PIPELINE_VERSION}
         for name in tables:
-            df = outputs[name]
+            df = outputs[name].withColumn("run_id", F.lit(run_id))
             path = os.path.join(out_dir, name, f"bucket_group={g}")
             df.write.mode("overwrite").parquet(path)
-            entry = {"rows": spark_count_parquet(df.sparkSession, path)}
+            # metrics from the cached lineage in ONE job — no parquet
+            # read-back (see count_and_checksum)
             if with_checksums:
-                entry["xor64"] = checksum(df.sparkSession.read.parquet(path))
-            meta["outputs"][name] = entry
+                rows, xor64 = count_and_checksum(df)
+                meta["outputs"][name] = {"rows": rows, "xor64": xor64}
+            else:
+                meta["outputs"][name] = {"rows": df.count()}
         for c in cached:
             c.unpersist()
         meta["duration_sec"] = round(time.perf_counter() - t0, 3)
         commit_manifest(out_dir, g, meta)
         summary["processed"].append(g)
+
+    record_run(out_dir, {
+        "run_id": run_id,
+        "pipeline_version": PIPELINE_VERSION,
+        "engine_versions": engine_versions(),
+        "n_groups": n_groups,
+        "groups_processed": summary["processed"],
+        "groups_skipped": summary["skipped"],
+        "ts": time.time(),
+    })
     return summary
-
-
-def spark_count_parquet(spark, path: str) -> int:
-    return spark.read.parquet(path).count()

@@ -77,6 +77,32 @@ def classify_document(page_texts: list[str]) -> dict:
     return {"doc_family": "UNKNOWN", "confidence": max(bs_score, mf_score)}
 
 
+# Currency detection: the reference schema carries documents.currency
+# / transactions.currency char(3) but hardcodes the default 'GBP' and
+# never populates it from content (tables.py:57-59,323-325).  The
+# engine detects it from marker frequency — symbols + ISO codes the
+# amount kernel already strips — defaulting to GBP exactly when no
+# marker exists (the reference's behavior on marker-free documents).
+_CURRENCY_PATTERNS = [  # order = tie-break priority
+    ("GBP", re.compile("£|gbp")),
+    ("USD", re.compile(r"\$|usd")),
+    ("EUR", re.compile("€|eur")),
+]
+
+CURRENCY_PATTERN_STRINGS = [(c, p.pattern) for c, p in _CURRENCY_PATTERNS]
+
+
+def detect_currency(text: str) -> str:
+    """Most frequent currency marker in (lowered) text; GBP default."""
+    t = text.lower()
+    best_ccy, best_n = "GBP", 0
+    for ccy, pat in _CURRENCY_PATTERNS:
+        n = len(pat.findall(t))
+        if n > best_n:
+            best_ccy, best_n = ccy, n
+    return best_ccy if best_n > 0 else "GBP"
+
+
 def detect_provider(page_texts: list[str]) -> dict:
     """Best-scoring provider over the first 3 pages (ties: first seen)."""
     combined_text = " ".join(page_texts[:PROVIDER_SCAN_PAGES]).lower()

@@ -51,6 +51,13 @@ Y_TOLERANCE = 0.005          # text-path line clustering tolerance
 TOP_REGION_Y = 0.15          # segmenter header-scan band
 TOP_REGION_LINES = 12        # lines with y0 < 0.15 under the constants above
 TOKEN_CONFIDENCE = 0.95      # PDF-text-path default confidence
+# TOOL-path (OCR-fallback analogue) token confidence: the reference's
+# tesseract path reports per-token OCR confidences that average below
+# the text path's fixed 0.95 (tesseract_engine.py:108-133,195-212) and
+# drive preprocessing-profile selection.  Transcript tool payloads
+# have no OCR noise source, so the analogue is a deterministic
+# sub-0.95 tier marking the fallback channel.
+TOOL_TOKEN_CONFIDENCE = 0.88
 
 _TOKEN_RE = re.compile(r"\S+")
 

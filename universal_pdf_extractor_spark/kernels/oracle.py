@@ -37,6 +37,7 @@ from typing import Optional
 from .classify import (
     boundary_score,
     classify_document,
+    detect_currency,
     detect_provider,
     score_document,
 )
@@ -165,6 +166,7 @@ def process_conversation(turns: list[tuple[int, Optional[str]]],
         "doc_family_confidence": round(classification["confidence"], 4),
         "provider": provider["provider_name"],
         "provider_confidence": round(provider["confidence"], 4),
+        "currency": detect_currency(conv_text),
         "account_holder_name": customer["account_holder_name"],
         "account_holder_address": customer["account_holder_address"],
         "account_holder_postcode": customer["account_holder_postcode"],

@@ -119,6 +119,9 @@ CONVERSATIONS_SCHEMA = StructType([
     StructField("doc_family_confidence", DecimalType(5, 4), False),
     StructField("provider", StringType(), True),
     StructField("provider_confidence", DecimalType(5, 4), True),
+    # documents.currency char(3) analogue (tables.py:57-59), detected
+    # from marker frequency with the reference's GBP default
+    StructField("currency", StringType(), False),
     StructField("account_holder_name", StringType(), True),
     StructField("account_holder_address", StringType(), True),
     StructField("account_holder_postcode", StringType(), True),

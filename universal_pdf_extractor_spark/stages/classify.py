@@ -30,6 +30,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 from ..kernels.classify import (
     BANK_STATEMENT_WEIGHT,
     CLASSIFY_FLOOR,
+    CURRENCY_PATTERN_STRINGS,
     MOTOR_FINANCE_WEIGHT,
     PROVIDER_MATCH_WEIGHT,
 )
@@ -137,6 +138,19 @@ def classify_stage(turns: DataFrame) -> DataFrame:
         F.when(F.col("_best.score") > 0, F.col("_best.score")),
     )
 
+    # currency = most frequent marker, GBP default (detect_currency);
+    # greatest((count, -order, name)) gives the kernel's first-max rule
+    ccy_candidates = [
+        F.struct(F.regexp_count(lowered, F.lit(pat)).alias("n"),
+                 F.lit(-order).alias("neg_order"),
+                 F.lit(ccy).alias("name"))
+        for order, (ccy, pat) in enumerate(CURRENCY_PATTERN_STRINGS)
+    ]
+    best_ccy = F.greatest(*ccy_candidates)
+    conv = conv.withColumn(
+        "currency",
+        F.when(best_ccy["n"] > 0, best_ccy["name"]).otherwise(F.lit("GBP")))
+
     # customer info only reads the first 50 lines (orchestrator.py:94-99);
     # slice JVM-side so the UDF ships ~2KB per conversation, not the
     # whole text — the kernel re-slices identically, so parity holds
@@ -144,7 +158,7 @@ def classify_stage(turns: DataFrame) -> DataFrame:
     conv = conv.withColumn("_cust", _customer_udf(head_text))
     return conv.select(
         "conv_id", "n_turns", "doc_family", "doc_family_confidence",
-        "provider", "provider_confidence",
+        "provider", "provider_confidence", "currency",
         F.col("_cust.account_holder_name").alias("account_holder_name"),
         F.col("_cust.account_holder_address").alias("account_holder_address"),
         F.col("_cust.account_holder_postcode").alias("account_holder_postcode"),

@@ -150,7 +150,7 @@ def conversations_table(conv_meta: DataFrame, records: DataFrame) -> DataFrame:
     )
     return df.select(
         "conv_id", "doc_family", "doc_family_confidence",
-        "provider", "provider_confidence",
+        "provider", "provider_confidence", "currency",
         "account_holder_name", "account_holder_address", "account_holder_postcode",
         "document_confidence", "reconciliation_rate",
         "validation_status", "final_status",

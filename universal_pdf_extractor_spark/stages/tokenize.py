@@ -31,7 +31,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernels.layout import turn_view_batch
+from ..kernels.layout import TOOL_TOKEN_CONFIDENCE, turn_view_batch
 
 VIEW_TYPE = StructType([
     StructField("raw_text", StringType(), False),
@@ -75,13 +75,16 @@ def tokens_table(transcripts: DataFrame) -> DataFrame:
             text_ok = pdf["text"].notna() & (pdf["text"] != "")
             tool_ok = pdf["tool"].notna() & (pdf["tool"] != "")
             payload = pdf["text"].where(text_ok, pdf["tool"].where(tool_ok, ""))
+            is_tool = (~text_ok) & tool_ok
             rows = []
-            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], payload):
+            for conv_id, turn_idx, text, via_tool in zip(
+                    pdf["conv_id"], pdf["turn_idx"], payload, is_tool):
                 tokens, _ = tokenize_turn(text)
                 for i, t in enumerate(tokens):
+                    conf = TOOL_TOKEN_CONFIDENCE if via_tool else t["confidence"]
                     rows.append((conv_id, int(turn_idx), i, t["text"],
                                  t["x0"], t["y0"], t["x1"], t["y1"],
-                                 t["confidence"], t["start"], t["end"]))
+                                 conf, t["start"], t["end"]))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return transcripts.select("conv_id", "turn_idx", "text", "tool") \
@@ -114,9 +117,13 @@ def tokenize_stage(transcripts: DataFrame) -> DataFrame:
         F.col("view.n_lines").alias("n_lines"),
         F.col("view.n_tokens").alias("n_tokens"),
         # PageMetrics analogue (contracts.py:67-80): text-path tokens
-        # carry fixed 0.95 confidence (pdfplumber_engine.py:125,154),
-        # and the 50-token quick sample (tesseract_engine.py:195-212)
-        # therefore equals the page mean on this corpus
-        F.when(F.col("view.n_tokens") > 0, F.lit(0.95)).otherwise(F.lit(0.0))
+        # carry fixed 0.95 (pdfplumber_engine.py:125,154); TOOL-path
+        # turns carry the OCR-analogue tier 0.88 (see kernels.layout.
+        # TOOL_TOKEN_CONFIDENCE); the 50-token quick sample
+        # (tesseract_engine.py:195-212) equals the page mean when
+        # per-token confidence is constant, so one column serves both
+        F.when(F.col("view.n_tokens") <= 0, F.lit(0.0))
+         .when(F.col("extraction_path") == "TOOL", F.lit(TOOL_TOKEN_CONFIDENCE))
+         .otherwise(F.lit(0.95))
          .alias("mean_token_confidence"),
     )
