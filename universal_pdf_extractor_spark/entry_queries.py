@@ -459,6 +459,46 @@ def fingerprint_template_match(spark, sf_dir):
             .select("doc_id", "template_source", "score"))
 
 
+@register("template_store_match", r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tokens
+        FROM documents),
+    versions AS (
+        SELECT source AS template_name, tokens AS fingerprint_tokens,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS version_number
+        FROM toks QUALIFY version_number <= 2),
+    latest AS (
+        SELECT template_name, version_number, fingerprint_tokens
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY template_name
+                                           ORDER BY version_number DESC) AS rn
+              FROM versions) WHERE rn = 1),
+    scored AS (
+        SELECT t.doc_id, l.template_name, l.version_number,
+               len(list_intersect(t.tokens, l.fingerprint_tokens)) AS i,
+               len(t.tokens) + len(l.fingerprint_tokens)
+                 - len(list_intersect(t.tokens, l.fingerprint_tokens)) AS u
+        FROM toks t, latest l)
+    SELECT doc_id, template_name,
+           CAST(version_number AS INT) AS matched_version,
+           ROUND(0.3 + 0.7 * (i * 1.0 / u), 6) AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY i * 1.0 / u DESC, template_name ASC) AS rn
+          FROM scored)
+    WHERE rn = 1 AND 0.3 + 0.7 * (i * 1.0 / u) >= 0.5
+""")
+def template_store_match(spark, sf_dir):
+    """Template store (templates x template_versions,
+    tables.py:426-491) + match API (fingerprints.py:287-357): build a
+    versioned dimension from the corpus, select the LATEST version per
+    template, match every document against it."""
+    from .io.templates import build_template_store, match_to_templates
+    docs = _read(spark, sf_dir, "documents")
+    store = build_template_store(docs, versions_per_template=2)
+    return match_to_templates(docs, store)
+
+
 # ───────────────────── training-data pipeline operators ─────────────
 
 @register("dedup_exact_groups", """
