@@ -77,21 +77,36 @@ def extract_features(media: DataFrame, n_frames: int = 8) -> DataFrame:
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                data = payload if payload is not None else b""
-                sig = _decode_stub(data, kind)
-                frames = sample_frames(sig, n_frames)
-                out.append({
-                    "media_id": int(media_id),
-                    "kind": kind,
-                    "n_bytes": len(data),
-                    "content_sha256": hashlib.sha256(data).hexdigest(),
-                    "feat_mean": float(frames.mean()) if len(frames) else None,
-                    "feat_std": float(frames.std()) if len(frames) else None,
-                    "frames_sampled": int(len(frames)),
-                })
-            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            # decode + hashing are inherently per-item (codec calls /
+            # hashlib); the FEATURE math batches into one stacked
+            # matrix op for the dominant fixed-width case
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            frames = [sample_frames(_decode_stub(p, k), n_frames)
+                      for p, k in zip(payloads, pdf["kind"])]
+            n = len(frames)
+            means = np.full(n, np.nan)
+            stds = np.full(n, np.nan)
+            full_idx = [i for i, f in enumerate(frames) if len(f) == n_frames]
+            if full_idx:
+                m = np.stack([frames[i] for i in full_idx])
+                means[full_idx] = m.mean(axis=1)
+                stds[full_idx] = m.std(axis=1)
+            for i, f in enumerate(frames):  # rare short/empty signals
+                if 0 < len(f) < n_frames:
+                    means[i] = f.mean()
+                    stds[i] = f.std()
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(dtype="int64"),
+                "kind": pdf["kind"].to_numpy(dtype=object),
+                "n_bytes": np.fromiter((len(p) for p in payloads),
+                                       dtype=np.int64, count=n),
+                "content_sha256": [hashlib.sha256(p).hexdigest()
+                                   for p in payloads],
+                "feat_mean": pd.Series(means).where(pd.notna(means), None),
+                "feat_std": pd.Series(stds).where(pd.notna(stds), None),
+                "frames_sampled": np.fromiter((len(f) for f in frames),
+                                              dtype=np.int32, count=n),
+            }, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     slim = media.select("media_id", "kind", "payload")
     return slim.mapInPandas(run, schema=FEATURE_SCHEMA)

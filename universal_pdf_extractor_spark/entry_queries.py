@@ -782,6 +782,15 @@ def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, q, k=10)
 
 
+@register("multimodal_features", None)  # decode is a documented stub;
+# payloads are Spark-generated binaries with no DuckDB-side source
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary media columns -> flat feature table
+    (batched matrix math; decode stubbed, everything else real)."""
+    from .datapipe.multimodal import extract_features, synthetic_media
+    return extract_features(synthetic_media(spark, n=256))
+
+
 @register("transcripts_token_ir", None)
 def transcripts_token_ir(spark, sf_dir):
     """Exploded token-IR diagnostics surface (contracts.py:20-26)."""
