@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
 
+IVF_QUANT = 1 << 24  # fixed-point scale for order-independent Lloyd sums
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -145,13 +148,20 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame,
                 .withColumn("cos", cosine_col(F.col("vec"), F.col("cvec"))))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
     assigned = assigned.withColumn("rnk", F.row_number().over(w)).where("rnk = 1")
-    # scale-safe Lloyd step: posexplode to (centroid, dim) cells and
-    # avg — state per group is one running mean, never a member list
+    # scale-safe Lloyd step: posexplode to (centroid, dim) cells —
+    # state per group is one running sum, never a member list
     # (collect_list of every member vector would hold an entire
-    # cluster in one aggregation row and OOM at corpus scale)
+    # cluster in one aggregation row and OOM at corpus scale).
+    # QUANTIZED means: summing FLOOR(val * 2^24) as int64 makes the
+    # reduction order-independent (float sums are not), so centroids —
+    # and therefore probe sets and results — are deterministic across
+    # partitionings AND engines (the DuckDB oracle reproduces them
+    # exactly); the 2^-24 quantization error is far below embedding
+    # noise.
     dims = (assigned.select("centroid_id", F.posexplode("vec").alias("pos", "val"))
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("val").alias("mean")))
+            .agg((F.sum(F.floor(F.col("val") * IVF_QUANT).cast("long"))
+                  / (F.count(F.lit(1)) * float(IVF_QUANT))).alias("mean")))
     centroids = (dims.groupBy("centroid_id")
                  .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
                  .select("centroid_id",

@@ -18,10 +18,8 @@ check.  The remaining no-oracle entries, each with its reason:
   tests/test_pipeline_e2e.py against the single-process oracle and by
   the frozen golden fixtures; the SQL-expressible projections
   (transcripts_turns in full, segment turn ranges) ARE oracle-checked.
-- ann_ivf_topk: the Lloyd step averages doubles with engine- and
-  partitioning-dependent summation order; centroid ulp differences can
-  flip probe sets, so no stable cross-engine oracle exists.  Recall vs
-  brute force is tested instead.
+- multimodal_features: payloads are Spark-generated binaries with no
+  DuckDB-side source, and the decode step is a documented stub.
 - transcripts_token_ir: token bboxes need per-match regex character
   offsets, which DuckDB's regex surface cannot produce.  The token
   contract (ordering, offsets, geometry) is pinned by test_layout.
@@ -774,8 +772,80 @@ def ann_lsh_topk(spark, sf_dir):
                                tables=_LSH_TABLES, dim=_LSH_DIM)
 
 
-@register("ann_ivf_topk", None)  # approximate IVF path (scale variant)
+def _ann_ivf_sql() -> str:
+    """Oracle for the IVF top-k.  Possible because the Lloyd step uses
+    QUANTIZED integer sums (order-independent, engine-exact); the
+    float cosine expressions reuse the fold patterns that already
+    hash-match in ann_cosine_topk."""
+    from .datapipe.similarity import IVF_QUANT
+
+    def cos(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(range(1, 65), j -> {a}[j] * {b}[j]))"
+                f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+                f" * sqrt(list_sum(list_transform({b}, x -> x * x))))")
+
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    seeds AS (
+        SELECT vec_id AS centroid_id, v AS cvec FROM corpus
+        ORDER BY vec_id LIMIT 16),
+    a0 AS (
+        SELECT c.vec_id, c.v, s.centroid_id, {cos('c.v', 's.cvec')} AS cos
+        FROM corpus c, seeds s),
+    assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, centroid_id ASC) AS rn FROM a0)
+        WHERE rn = 1),
+    cells AS (
+        SELECT centroid_id, pos,
+               CAST(SUM(CAST(FLOOR(val * {IVF_QUANT}) AS BIGINT)) AS BIGINT) AS s,
+               COUNT(*) AS n
+        FROM (SELECT centroid_id, p AS pos, v[p] AS val
+              FROM assigned, UNNEST(range(1, len(v) + 1)) AS t(p))
+        GROUP BY centroid_id, pos),
+    centroids AS (
+        SELECT centroid_id, list(mean ORDER BY pos) AS cvec
+        FROM (SELECT centroid_id, pos, s / (n * {float(IVF_QUANT)}) AS mean
+              FROM cells)
+        GROUP BY centroid_id),
+    inv0 AS (
+        SELECT c.vec_id, c.v, k.centroid_id, {cos('c.v', 'k.cvec')} AS cos
+        FROM corpus c, centroids k),
+    inv AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, centroid_id ASC) AS rn FROM inv0)
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
+    qp0 AS (
+        SELECT q.query_id, q.qv, k.centroid_id, {cos('q.qv', 'k.cvec')} AS cos
+        FROM q, centroids k),
+    qprobe AS (
+        SELECT query_id, qv, centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, centroid_id ASC) AS rn FROM qp0)
+        WHERE rn <= 4),
+    scored AS (
+        SELECT p.query_id, i.vec_id, {cos('i.v', 'p.qv')} AS cosine
+        FROM inv i JOIN qprobe p ON i.centroid_id = p.centroid_id
+        WHERE i.vec_id <> p.query_id),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored)
+    SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@register("ann_ivf_topk", _ann_ivf_sql())
 def ann_ivf_topk(spark, sf_dir):
+    """IVF top-k (scale variant); fully oracle-checked thanks to the
+    quantized (order-independent) Lloyd step."""
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
