@@ -265,3 +265,26 @@ def test_detect_currency_kernel():
     assert detect_currency("Betrag: 10€ plus 20 EUR") == "EUR"
     assert detect_currency("£5 and $5") == "GBP"  # tie -> first-seen priority
     assert detect_currency("GBP 100.00 balance") == "GBP"
+
+
+def test_classify_char_cap_bounds_conversation_text(spark):
+    """Unbounded conversations classify on a bounded prefix (the
+    reference's bounded-scan rule generalized); within the cap the
+    text is byte-identical to the uncapped join."""
+    import numpy as np
+
+    from universal_pdf_extractor_spark.stages.classify import conversation_text
+    from universal_pdf_extractor_spark.stages.tokenize import tokenize_stage
+
+    rows = [{"conv_id": "c", "turn_idx": i, "role": "user",
+             "text": f"turn {i} " + ("x" * 50), "tool": None,
+             "ts": pd.Timestamp("2024-01-01")} for i in range(10)]
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype(np.int32)
+    turns = tokenize_stage(spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA))
+
+    full = conversation_text(turns).first()["conv_text"]
+    capped = conversation_text(turns, char_cap=200).first()["conv_text"]
+    assert full.startswith(capped) and len(capped) < len(full)
+    assert capped.endswith("x" * 50)      # whole turns only, in order
+    assert capped.count("turn") == 3      # 3 x ~59 chars fit under 200

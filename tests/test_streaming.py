@@ -56,3 +56,53 @@ def test_stream_session_rollup_runs(spark, corpus_path, tmp_path_factory):
     # last window back if the watermark never passes; the query itself
     # must at least run to completion without error
     assert q.exception() is None
+
+
+def test_stream_stateful_segments_match_batch(spark, tmp_path_factory):
+    """applyInPandasWithState segment assignment == the batch cumsum
+    window, with conversations SPLIT ACROSS micro-batches (state must
+    carry the running boundary count between triggers)."""
+    from universal_pdf_extractor_spark.stages.segment import segment_stage
+    from universal_pdf_extractor_spark.stages.streaming import (
+        stream_segment_assignment,
+    )
+
+    pdf = generate_transcripts(12)
+    base = tmp_path_factory.mktemp("stream_state")
+    in_dir = str(base / "in")
+    # turn-ordered chunk files: each conversation's first turns arrive
+    # in chunk 0, the rest in chunks 1-2 (maxFilesPerTrigger=1 -> three
+    # micro-batches, so per-conv state crosses batch boundaries)
+    sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    for i, cond in enumerate(["turn_idx < 3", "turn_idx >= 3 AND turn_idx < 8",
+                              "turn_idx >= 8"]):
+        sdf.where(cond).coalesce(1).write.mode("overwrite") \
+           .parquet(f"{in_dir}/chunk={i}")
+    # one flat dir of files, lexicographic order == turn order
+    import glob
+    import shutil
+    flat = str(base / "flat")
+    import os
+    os.makedirs(flat)
+    for i in range(3):
+        for j, f in enumerate(sorted(glob.glob(f"{in_dir}/chunk={i}/*.parquet"))):
+            shutil.copy(f, f"{flat}/{i:02d}_{j}.parquet")
+
+    ckpt = str(base / "ckpt")
+    q = (stream_segment_assignment(spark, flat, max_files_per_trigger=1)
+         .writeStream.format("memory").queryName("seg_stream")
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert q.exception() is None
+
+    got = (spark.sql("SELECT conv_id, turn_idx, segment_index FROM seg_stream")
+           .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    from universal_pdf_extractor_spark.stages.tokenize import tokenize_stage
+    exp = (segment_stage(tokenize_stage(spark.read.parquet(flat)))
+           .select("conv_id", "turn_idx", "segment_index")
+           .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    assert (got["conv_id"] == exp["conv_id"]).all()
+    assert (got["segment_index"] == exp["segment_index"]).all()

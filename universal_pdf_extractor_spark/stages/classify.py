@@ -94,12 +94,34 @@ def _provider_best(text_col: Column) -> Column:
     return F.greatest(*candidates)
 
 
-def conversation_text(turns: DataFrame) -> DataFrame:
-    """conv_id -> combined '\\n'-joined non-empty raw_texts in order."""
-    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "raw_text")))
-    texts = F.filter(F.transform(ordered, lambda x: x["raw_text"]), lambda t: t != "")
-    return turns.groupBy("conv_id").agg(
-        F.array_join(texts, "\n").alias("conv_text"),
+# Bounded classification scan: the reference classifies over a whole
+# document's text, which is fine for <=50-page statements but unbounded
+# for transcripts.  Conversations beyond this many characters classify
+# on their prefix — the same bounded-scan rule the reference applies
+# elsewhere (10-line header scan, 50-line customer scan, 3-page
+# provider scan; SURVEY §2.9 O2-O5).  Far above any fixture
+# conversation (~0.25 MB max), so parity is unaffected; at 10^12-turn
+# scale it bounds the collect_list row size.
+CLASSIFY_CHAR_CAP = 2_000_000
+
+
+def conversation_text(turns: DataFrame,
+                      char_cap: int = CLASSIFY_CHAR_CAP) -> DataFrame:
+    """conv_id -> combined '\\n'-joined non-empty raw_texts in order
+    (prefix-capped at ``char_cap`` cumulative characters)."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.length(F.col("raw_text")) + F.lit(1)).over(w)
+    # collect_list drops the when()'s nulls -> over-cap turns excluded
+    # without a second aggregation or join; the window reuses the
+    # segment stage's exchange + sort
+    in_cap = F.when(cum <= char_cap, F.struct("turn_idx", "raw_text"))
+    return turns.withColumn("_in_cap", in_cap).groupBy("conv_id").agg(
+        F.array_join(F.filter(
+            F.transform(F.array_sort(F.collect_list("_in_cap")),
+                        lambda x: x["raw_text"]),
+            lambda t: t != ""), "\n").alias("conv_text"),
         F.count(F.lit(1)).cast("int").alias("n_turns"),
     )
 

@@ -19,6 +19,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..schemas import TRANSCRIPTS_SCHEMA
 from .segment import boundary_score_col
@@ -34,6 +41,82 @@ def stream_turns(spark: SparkSession, input_path: str,
     turns = tokenize_stage(stream)
     return turns.withColumn("boundary_score", boundary_score_col(F.col("top_text"))) \
                 .drop("payload")
+
+
+SEG_STATE_SCHEMA = StructType([
+    StructField("n_boundaries", IntegerType(), False),
+    StructField("last_turn_idx", IntegerType(), False),
+])
+
+SEG_OUT_SCHEMA = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("turn_idx", IntegerType(), False),
+    StructField("is_boundary", BooleanType(), False),
+    StructField("segment_index", IntegerType(), False),
+])
+
+
+def _assign_segments_stateful(key, pdfs, state):
+    """applyInPandasWithState body: running boundary count per conv.
+
+    State carries (boundary count so far, last processed turn_idx) so
+    segment indices stay correct across micro-batches.  Rows within a
+    batch are sorted by turn_idx; cross-batch order is the file
+    source's responsibility (turn-ordered input files — the streaming
+    analogue of the batch window's sort).
+    """
+    import numpy as np
+    import pandas as pd
+
+    conv_id = key[0]
+    n_bound, last_turn = (state.get if state.exists else (0, -1))
+    frames = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("turn_idx")
+        flags = (pdf["turn_idx"].to_numpy() == 0) | pdf["strong_signal"].to_numpy()
+        segs = n_bound + np.cumsum(flags) - 1
+        n_bound += int(flags.sum())
+        if len(pdf):
+            last_turn = int(pdf["turn_idx"].iloc[-1])
+        frames.append(pd.DataFrame({
+            "conv_id": conv_id,
+            "turn_idx": pdf["turn_idx"].to_numpy(),
+            "is_boundary": flags,
+            "segment_index": segs.astype("int32"),
+        }))
+    state.update((int(n_bound), int(last_turn)))
+    yield from frames
+
+
+def stream_segment_assignment(spark: SparkSession, input_path: str,
+                              max_files_per_trigger: int = 1) -> DataFrame:
+    """Custom stateful streaming operator: incremental segment-index
+    assignment (the batch cumsum window re-expressed over GroupState).
+
+    Boundary semantics match segment_stage exactly: first turn of a
+    conversation, or any strong signal group matching in the top band
+    (score >= 0.8 <=> >= one 1.0 group).
+    """
+    from ..kernels.patterns import (
+        ACCOUNT_HEADER_RLIKE,
+        OPENING_BALANCE_RLIKE,
+        STATEMENT_PERIOD_RLIKE,
+    )
+    strong = (f"(?:{STATEMENT_PERIOD_RLIKE})|(?:{OPENING_BALANCE_RLIKE})"
+              f"|(?:{ACCOUNT_HEADER_RLIKE})")
+    stream = (spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_path))
+    turns = tokenize_stage(stream).select(
+        "conv_id", "turn_idx",
+        F.col("top_text").rlike(strong).alias("strong_signal"))
+    return turns.groupBy("conv_id").applyInPandasWithState(
+        _assign_segments_stateful,
+        outputStructType=SEG_OUT_SCHEMA,
+        stateStructType=SEG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
 
 
 def stream_conversation_activity(spark: SparkSession, input_path: str,
