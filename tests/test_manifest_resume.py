@@ -46,6 +46,12 @@ def test_full_run_then_exact_resume(spark, corpus, tmp_path_factory):
     assert all("rows" in v and "xor64" in v for v in m["outputs"].values())
     assert m["run_id"] == s1["run_id"]
     assert m["pipeline_version"] == PIPELINE_VERSION
+    # usage/cost events analogue: per-engine row counts + duration
+    assert sum(m["engine_events"]["turns_by_path"].values()) == m["input_rows"]
+    assert set(m["engine_events"]["turns_by_path"]) <= {"TEXT", "TOOL", "EMPTY"}
+    assert set(m["engine_events"]["records_by_parser"]) <= \
+        {"column_path", "text_grid_table"}
+    assert m["duration_sec"] > 0
 
     # outputs carry the run_id column; registry reconstructs is_latest
     turns_df = spark.read.parquet(os.path.join(out, "turns"))

@@ -152,6 +152,21 @@ def run_with_resume(transcripts: DataFrame,
         input_rows = part.count()
         meta: dict = {"group": g, "input_rows": input_rows, "outputs": {},
                       "run_id": run_id, "pipeline_version": PIPELINE_VERSION}
+        # cost/usage events analogue (cost_tracker.py, cost_events DDL
+        # tables.py:576-603): per-"engine" row counts measured from the
+        # cached lineage — TEXT/TOOL/EMPTY extraction paths and
+        # main-vs-fallback record parsers; duration_sec below is the
+        # latency dimension
+        if "turns" in outputs:
+            meta["engine_events"] = {"turns_by_path": {
+                r["extraction_path"]: r["n"]
+                for r in outputs["turns"].groupBy("extraction_path")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}}
+        if "records" in outputs:
+            meta.setdefault("engine_events", {})["records_by_parser"] = {
+                ("text_grid_table" if r["fallback_used"] else "column_path"): r["n"]
+                for r in outputs["records"].groupBy("fallback_used")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
         for name in tables:
             df = outputs[name].withColumn("run_id", F.lit(run_id))
             path = os.path.join(out_dir, name, f"bucket_group={g}")
