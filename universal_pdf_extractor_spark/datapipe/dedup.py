@@ -5,10 +5,11 @@ keys with bounded cardinality:
 
 - exact:          one groupBy on a 256-bit content hash (never on the
                   raw text — the hash is the shuffle key).
-- ngram-jaccard:  shingle explode -> self-join on shingle -> pair
-                  aggregation.  Quadratic in cluster size but linear
-                  in corpus when shingle frequencies are capped
-                  (drop ubiquitous shingles like stop-shingles).
+- ngram-jaccard:  prefix-filtered set-similarity join (PPJoin-style,
+                  lossless): only each document's rarest
+                  |X|-ceil(t|X|)+1 shingles enter the self-join;
+                  candidates verified exactly.  Ubiquitous shingles
+                  sort to the suffix, so they never join.
 - minhash-LSH:    k permutations via affine hashing of shingle hashes,
                   banded into b bands -> candidate pairs join only
                   collides within bands (the classic
@@ -24,7 +25,7 @@ outputs are DuckDB-oracle-checkable end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
 MERSENNE_PRIME = (1 << 31) - 1  # 31-bit field: a*h+b stays far below int64 under ANSI mode
@@ -89,14 +90,18 @@ def ngram_jaccard_pairs(documents: DataFrame,
                         threshold: float = 0.8,
                         n: int = 3,
                         id_col: str = "doc_id",
-                        text_col: str = "text",
-                        max_shingle_freq: int = 1000) -> DataFrame:
+                        text_col: str = "text") -> DataFrame:
     """Near-dup pairs (a, b, jaccard) with a < b and jaccard >= threshold.
 
-    |A∩B| via a shingle self-join; |A∪B| = |A|+|B|-|A∩B|.  Shingles
-    occurring in more than ``max_shingle_freq`` docs are dropped
-    before the join (they generate quadratic candidates but cannot by
-    themselves push Jaccard over a high threshold at corpus scale).
+    Prefix-filtered set-similarity join (the PPJoin family's lossless
+    candidate pruning): order each document's shingles by global
+    rarity; two sets with jaccard >= t MUST share at least one shingle
+    within each one's first ``|X| - ceil(t*|X|) + 1`` rare shingles, so
+    only those prefixes are self-joined.  Candidates are then verified
+    exactly via array_intersect on the full shingle sets.  Output is
+    IDENTICAL to the naive full self-join (same pairs, same jaccard)
+    at a fraction of the join volume: the quadratic blowup on
+    ubiquitous shingles disappears because they sort to the suffix.
     """
     docs = documents.select(
         F.col(id_col).alias("doc_id"),
@@ -105,26 +110,39 @@ def ngram_jaccard_pairs(documents: DataFrame,
 
     exploded = docs.select("doc_id", "n_shingles",
                            F.explode("shingles").alias("shingle"))
-    freq_ok = (exploded.groupBy("shingle")
-               .agg(F.count(F.lit(1)).alias("df"))
-               .where(F.col("df") <= max_shingle_freq))
-    exploded = exploded.join(freq_ok.select("shingle"), "shingle")
+    df_counts = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
-    left = exploded.select(F.col("doc_id").alias("a"),
-                           F.col("n_shingles").alias("na"), "shingle")
-    right = exploded.select(F.col("doc_id").alias("b"),
-                            F.col("n_shingles").alias("nb"), "shingle")
-    pairs = (
-        left.join(right, "shingle")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("common"))
-        .withColumn("jaccard",
-                    F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
-        .where(F.col("jaccard") >= threshold)
-        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
-    )
-    return pairs
+    # rare-first rank within each doc; prefix keeps the filter lossless
+    ranked = exploded.join(df_counts, "shingle")
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix_len = (F.col("n_shingles")
+                  - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1)
+    prefix = (ranked.withColumn("_r", F.row_number().over(w))
+              .where(F.col("_r") <= prefix_len)
+              .select("doc_id", "n_shingles", "shingle"))
+
+    left = prefix.select(F.col("doc_id").alias("a"),
+                         F.col("n_shingles").alias("na"), "shingle")
+    right = prefix.select(F.col("doc_id").alias("b"),
+                          F.col("n_shingles").alias("nb"), "shingle")
+    # size filter (also lossless): jaccard >= t forces t*|B| <= |A| <= |B|/t
+    candidates = (left.join(right, "shingle")
+                  .where((F.col("a") < F.col("b"))
+                         & (F.col("na") >= F.lit(threshold) * F.col("nb"))
+                         & (F.col("nb") >= F.lit(threshold) * F.col("na")))
+                  .select("a", "b").distinct())
+
+    sa = docs.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sa"),
+                     F.col("n_shingles").alias("na"))
+    sb = docs.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sb"),
+                     F.col("n_shingles").alias("nb"))
+    verified = (candidates.join(sa, "a").join(sb, "b")
+                .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+                .withColumn("jaccard", F.col("common")
+                            / (F.col("na") + F.col("nb") - F.col("common")))
+                .where(F.col("jaccard") >= threshold)
+                .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+    return verified
 
 
 def _affine_minhash(shingle_hash, a: int, b: int):
