@@ -57,3 +57,55 @@ def test_pipeline_survives_and_matches_oracle(spark, nasty_df):
     # records/conversations also computable without error
     assert out["records"].count() == len(oracle["records"])
     assert out["conversations"].count() == 1
+
+
+GRID_NASTY = [
+    # header keywords but garbage rows (fallback must not crash)
+    "Date  Description  Amount\n\x00\x00  \t  ???  NaN\n01/01/2024  ok  1.00",
+    # header-only, no data rows
+    "Date  Description  Paid In  Paid Out",
+    # ragged rows: more cells than header / fewer cells than header
+    "Date  Description  Amount\n"
+    "01/01/2024  A  B  C  D  E  9.99\n"
+    "9.99",
+    # unicode + huge gap runs
+    "Date  Description  Amount\n"
+    "01/01/2024  中文转账 émojis 🙂" + " " * 200 + "1,000.00",
+    # amounts that overflow/parse weird
+    "Date  Description  Amount\n"
+    "01/01/2024  big  99,999,999,999.99\n"
+    "01/01/2024  zero  0.00\n"
+    "01/01/2024  neg  (42.00)",
+]
+
+
+def test_fallback_grid_survives_adversarial_tables(spark):
+    """The text-grid fallback parser must neither crash nor diverge
+    from the oracle on malformed pseudo-tables."""
+    from datetime import datetime
+
+    rows = []
+    for i, text in enumerate(GRID_NASTY):
+        rows.append({"conv_id": f"grid_{i:03d}", "turn_idx": 0, "role": "user",
+                     "text": text, "tool": None, "ts": datetime(2024, 1, 1)})
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    out = run_pipeline(sdf)
+    recs = out["records"].toPandas().sort_values(
+        ["conv_id", "segment_index", "row_index"]).reset_index(drop=True)
+
+    # oracle agreement per conversation
+    for i, text in enumerate(GRID_NASTY):
+        o = process_conversation([(0, text)])["records"]
+        g = recs[recs["conv_id"] == f"grid_{i:03d}"]
+        assert len(g) == len(o), (i, len(g), len(o))
+        for gr, er in zip(g.itertuples(), o):
+            assert str(gr.amount) == str(er["amount"])
+            assert gr.direction == er["direction"]
+
+    # the unicode row and the signed rows must actually have parsed
+    uni = recs[recs["conv_id"] == "grid_003"]
+    assert len(uni) == 1 and str(uni.iloc[0]["amount"]) == "1000.00"
+    signed = recs[recs["conv_id"] == "grid_004"]
+    assert "DEBIT" in set(signed["direction"])

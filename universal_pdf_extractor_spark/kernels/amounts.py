@@ -92,6 +92,11 @@ def parse_amount(raw: str) -> AmountParse:
         amount = Decimal(s)
     except (InvalidOperation, ValueError):
         return _NULL_PARSE
+    # Decimal accepts 'NaN'/'Infinity' spellings; downstream magnitude
+    # comparisons raise InvalidOperation on them (the reference's
+    # parser has the same latent crash, amount_parser.py:29-148)
+    if not amount.is_finite():
+        return _NULL_PARSE
 
     if is_negative:
         amount = -amount
@@ -132,8 +137,7 @@ def is_amount_like(text: str) -> bool:
     if cleaned.endswith("-"):
         cleaned = cleaned[:-1].strip()
     try:
-        Decimal(cleaned.replace(",", "").replace(" ", ""))
-        return True
+        return Decimal(cleaned.replace(",", "").replace(" ", "")).is_finite()
     except (InvalidOperation, ValueError):
         return False
 

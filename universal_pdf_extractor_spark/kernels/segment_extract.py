@@ -129,13 +129,17 @@ def _grid_col_map_valid(col_map: dict) -> bool:
 
 
 def _assign_cells(header_cells: list[dict], row_cells: list[dict]) -> list[str]:
-    """Nearest-x-midpoint assignment of data cells to header columns.
+    """Assignment of data cells to header columns.
 
     pdfplumber hands the reference pre-aligned table columns; the text
-    grid has to re-align ragged rows itself.  Each data cell lands on
-    the header column whose x-midpoint is closest; collisions keep the
-    first (leftmost) cell.
+    grid has to re-align ragged rows itself.  When a row has exactly
+    one cell per header the mapping is positional (robust to rows
+    whose x-geometry is distorted by long gap runs); otherwise each
+    cell lands on the header column with the closest x-midpoint,
+    collisions concatenating left to right.
     """
+    if len(row_cells) == len(header_cells):
+        return [dict(c) for c in row_cells]
     out = [None] * len(header_cells)
     for cell in row_cells:
         j = min(range(len(header_cells)),
