@@ -124,3 +124,59 @@ def test_tolerance_ladder_monotone(diff):
         assert tol is None
     else:
         assert tol is not None and tol >= diff
+
+
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=50))
+@settings(max_examples=60, deadline=None)
+def test_signed_direction_batch_equals_per_row(texts):
+    """signed_direction_batch == the per-row parse_signed_amount ladder
+    on arbitrary strings (including garbage and unicode)."""
+    from universal_pdf_extractor_spark.kernels.solver import (
+        parse_signed_amount,
+        signed_direction_batch,
+    )
+
+    def per_row(s):
+        parsed = parse_signed_amount(s)
+        if parsed is None:
+            return "UNKNOWN"
+        amount, _ = parsed
+        return "DEBIT" if amount < 0 else ("CREDIT" if amount > 0 else "UNKNOWN")
+
+    batch = signed_direction_batch(pd.Series(texts))
+    for raw, got in zip(texts, batch):
+        assert got == per_row(raw), raw
+
+
+_datish = st.one_of(
+    st.dates(min_value=date(1990, 1, 1), max_value=date(2030, 12, 28))
+      .map(lambda d: d.strftime("%d/%m/%Y")),
+    st.dates(min_value=date(1990, 1, 1), max_value=date(2030, 12, 28))
+      .map(lambda d: d.strftime("%d %b %Y")),
+    st.dates(min_value=date(1990, 1, 1), max_value=date(2030, 12, 28))
+      .map(lambda d: d.strftime("%Y-%m-%d")),
+    st.text(min_size=0, max_size=20),  # garbage
+)
+
+
+@given(st.lists(_datish, min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_parse_date_batch_equals_per_row(texts):
+    """parse_date_batch (fast path + ladder fallback) == per-row
+    parse_date on mixed valid/garbage inputs."""
+    from universal_pdf_extractor_spark.kernels.dates import parse_date_batch
+
+    batch = parse_date_batch(pd.Series(texts), today=TODAY)
+    for raw, got in zip(texts, batch):
+        assert got == parse_date(raw, today=TODAY).parsed_date, raw
+
+
+@given(st.sampled_from(["NaN", "nan", "Infinity", "-Infinity", "inf",
+                        "(NaN)", "NaN DR", "snan", "sNaN"]))
+@settings(max_examples=20, deadline=None)
+def test_non_finite_spellings_rejected(raw):
+    """Decimal's NaN/Infinity spellings must parse as non-amounts, not
+    crash downstream magnitude comparisons."""
+    p = parse_amount(raw)
+    assert p.amount is None
+    assert not is_amount_like(raw)
