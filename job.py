@@ -49,6 +49,12 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--output", help="output root directory")
     ap.add_argument("--groups", type=int, default=8,
                     help="resume granularity (hash bucket groups)")
+    ap.add_argument("--split-segments", action="store_true",
+                    help="skew escape hatch: regroup extraction on "
+                         "(conv_id, segment_index) so pathological "
+                         "conversations split at statement boundaries "
+                         "— the semantically-valid form of salting the "
+                         "conv_id repartition (results identical)")
     ap.add_argument("--master", default=os.environ.get("SPARK_MASTER", "local[32]"))
     ap.add_argument("--make-pyfiles", help="write engine zip and exit")
     args = ap.parse_args(argv)
@@ -80,7 +86,15 @@ def main(argv: list[str]) -> int:
             transcripts = spark.read.parquet(args.input)
         else:
             transcripts = transcripts_sdf(spark, n_convs_for_sf(args.synthetic_sf))
-        summary = run_with_resume(transcripts, args.output, n_groups=args.groups)
+        pipeline_fn = None
+        if args.split_segments:
+            from universal_pdf_extractor_spark.stages.pipeline import run_pipeline
+
+            def pipeline_fn(df, **kw):
+                return run_pipeline(df, split_segments=True, **kw)
+        summary = run_with_resume(transcripts, args.output,
+                                  n_groups=args.groups,
+                                  run_pipeline_fn=pipeline_fn)
         print(json.dumps(summary))
     finally:
         spark.stop()
