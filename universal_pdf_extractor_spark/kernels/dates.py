@@ -177,11 +177,11 @@ def parse_date(raw: str,
     return _NULL_PARSE
 
 
-_DATE_LIKE_PATTERNS = [
+_DATE_LIKE_PATTERNS = [  # boolean use only -> non-capturing groups
     re.compile(r"\d{1,2}[/\-\.]\d{1,2}[/\-\.]\d{2,4}"),
-    re.compile(r"\d{1,2}\s+(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)", re.IGNORECASE),
+    re.compile(r"\d{1,2}\s+(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)", re.IGNORECASE),
     re.compile(r"\d{4}-\d{2}-\d{2}"),
-    re.compile(r"\d{1,2}(JAN|FEB|MAR|APR|MAY|JUN|JUL|AUG|SEP|OCT|NOV|DEC)", re.IGNORECASE),
+    re.compile(r"\d{1,2}(?:JAN|FEB|MAR|APR|MAY|JUN|JUL|AUG|SEP|OCT|NOV|DEC)", re.IGNORECASE),
 ]
 
 # Single alternation usable as a Spark `rlike` literal (same 4 branches).
