@@ -87,3 +87,14 @@ def test_noop_when_all_committed(spark, corpus, tmp_path_factory):
     s = run_with_resume(corpus, out, n_groups=2)
     assert s["processed"] == []
     assert sorted(s["skipped"]) == [0, 1]
+
+
+def test_noop_resume_keeps_writing_run_latest(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("resume_out3"))
+    s1 = run_with_resume(corpus, out, n_groups=2)
+    s2 = run_with_resume(corpus, out, n_groups=2)  # no-op resume
+    assert s2["processed"] == []
+    # both runs are in the registry, but is_latest reconstruction must
+    # point at the run whose run_id actually appears on output rows
+    assert [r["run_id"] for r in run_history(out)] == [s1["run_id"], s2["run_id"]]
+    assert latest_run(out)["run_id"] == s1["run_id"]

@@ -242,6 +242,27 @@ def test_tool_path_confidence_tier(outputs):
     assert set(empty["mean_token_confidence"]) <= {0.0}
 
 
+def test_hard_gate_balance_mismatch_integer_markers(spark):
+    """Gate-5 parity when markers parse at scale 0 ('1500', no decimal
+    places): the oracle quantizes to the at-rest DecimalType(15,2)
+    scale, so the gate name renders identically on both paths."""
+    lines = [
+        f"{'Date':<13} {'Description':<40}{'Amount':>13}{'Balance':>14}",
+        f"{'':<13} {'Opening balance':<40}{'':>13}{'1500':>14}",
+    ]
+    bal = 1500
+    for i in range(8):
+        bal -= 10
+        lines.append(f"{'01/02/2024':<13} {'TESCO STORES':<40}"
+                     f"{'10.00':>13}{f'{bal}.00':>14}")
+    lines.append(f"{'':<13} {'Closing balance':<40}{'':>13}{'1200':>14}")
+    conv, text = _run_single_conv(spark, lines, "conv_intmarkers")
+    gates = list(conv["hard_gate_failures"])
+    o = process_conversation([(0, text)])["conversation"]
+    assert gates == o["hard_gate_failures"], (gates, o["hard_gate_failures"])
+    assert any(g.startswith("HARD_GATE_BALANCE_MISMATCH_") for g in gates)
+
+
 def test_corpus_exercises_all_paths(oracle):
     """The fixture corpus must cover every branch we claim to test."""
     families = {o["conversation"]["doc_family"] for o in oracle.values()}

@@ -106,3 +106,36 @@ def test_stream_stateful_segments_match_batch(spark, tmp_path_factory):
     assert len(got) == len(exp) > 0
     assert (got["conv_id"] == exp["conv_id"]).all()
     assert (got["segment_index"] == exp["segment_index"]).all()
+
+
+def test_stream_stateful_segments_nonzero_start(spark, tmp_path_factory):
+    """First-row boundary comes from state existence, not turn_idx==0:
+    a conversation whose turns start at index 5 still gets segment 0."""
+    import numpy as np
+
+    from universal_pdf_extractor_spark.stages.streaming import (
+        stream_segment_assignment,
+    )
+
+    base = tmp_path_factory.mktemp("stream_nz")
+    rows = [{"conv_id": "nz", "turn_idx": 5 + i, "role": "user",
+             "text": f"just chatter line {i}", "tool": None,
+             "ts": __import__("datetime").datetime(2024, 1, 1, 0, i)}
+            for i in range(4)]
+    pdf = __import__("pandas").DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype(np.int32)
+    in_dir = str(base / "in")
+    spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA) \
+         .coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    q = (stream_segment_assignment(spark, in_dir)
+         .writeStream.format("memory").queryName("seg_nz")
+         .outputMode("append")
+         .option("checkpointLocation", str(base / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT turn_idx, is_boundary, segment_index FROM seg_nz")
+           .toPandas().sort_values("turn_idx").reset_index(drop=True))
+    assert list(got["segment_index"]) == [0, 0, 0, 0]
+    assert bool(got["is_boundary"].iloc[0]) is True
+    assert not got["is_boundary"].iloc[1:].any()

@@ -102,8 +102,11 @@ def extract_features(media: DataFrame, n_frames: int = 8) -> DataFrame:
                                        dtype=np.int64, count=n),
                 "content_sha256": [hashlib.sha256(p).hexdigest()
                                    for p in payloads],
-                "feat_mean": pd.Series(means).where(pd.notna(means), None),
-                "feat_std": pd.Series(stds).where(pd.notna(stds), None),
+                # object dtype so empty-media NaNs leave Python as real
+                # None/NULL rather than relying on Arrow's NaN-as-null
+                # coercion for float64 frames
+                "feat_mean": pd.Series(means, dtype=object).where(pd.notna(means), None),
+                "feat_std": pd.Series(stds, dtype=object).where(pd.notna(stds), None),
                 "frames_sampled": np.fromiter((len(f) for f in frames),
                                               dtype=np.int32, count=n),
             }, columns=[f.name for f in FEATURE_SCHEMA.fields])

@@ -631,13 +631,16 @@ def dedup_minhash_lsh(spark, sf_dir):
         FROM blocked l JOIN blocked r
           ON l.block = r.block AND l.key = r.key AND l.doc_id < r.doc_id)
     SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
-    FROM pairs WHERE bit_count(xor(ha, hb)) <= 6
+    FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
 """)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (banded hamming blocking).  All bit
-    arithmetic on hash60 values — exactly reproducible in the oracle."""
+    arithmetic on hash60 values — exactly reproducible in the oracle.
+    max_hamming=3 matches the 4-block pigeonhole guarantee: pairs at
+    hamming 4+ may miss every block, so a larger filter would claim
+    recall the blocking cannot deliver."""
     docs = _read(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, max_hamming=6)
+    return dedup.simhash_near_dups(docs, max_hamming=3)
 
 
 @register("ann_cosine_topk", """
@@ -977,14 +980,21 @@ def text_fingerprints(spark, sf_dir):
 # tables, so the transcripts queries snapshot their (deterministic)
 # input here; the oracle SQL reads the same snapshot.  The driver runs
 # each query before its oracle, so the write always precedes the read.
+# Single-driver assumption: the path is shared per host — two
+# concurrent correctness drivers at different scale factors would
+# clobber each other (the driver protocol runs one at a time).
 TRANSCRIPTS_SNAPSHOT = "/tmp/updx_oracle_inputs/transcripts.parquet"
+_SNAPSHOT_WRITTEN: set[int] = set()  # n_convs written by this process
 
 
 def _pipeline_outputs(spark, sf_dir):
     sf = sf_from_dir(sf_dir)
     n_convs = min(n_convs_for_sf(sf), 2_000)  # cap correctness-run size
-    transcripts_sdf(spark, n_convs).write.mode("overwrite") \
-        .parquet(TRANSCRIPTS_SNAPSHOT)
+    if _SNAPSHOT_WRITTEN != {n_convs}:  # write once per process per size
+        transcripts_sdf(spark, n_convs).write.mode("overwrite") \
+            .parquet(TRANSCRIPTS_SNAPSHOT)
+        _SNAPSHOT_WRITTEN.clear()
+        _SNAPSHOT_WRITTEN.add(n_convs)
     transcripts = spark.read.parquet(TRANSCRIPTS_SNAPSHOT)
     return run_pipeline(transcripts)
 

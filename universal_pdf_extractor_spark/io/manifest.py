@@ -51,8 +51,9 @@ def count_and_checksum(df: DataFrame) -> tuple[int, int]:
 
     Computed from the (cached-lineage) frame rather than by re-reading
     the freshly written parquet: the write either committed or raised,
-    so a read-back verifies the filesystem, not the data — at the cost
-    of two extra full scans per group.
+    so a read-back would verify the filesystem, not the data, and it
+    would cost two extra full scans per table per group (one for the
+    count, one for the checksum) — those are the scans this saves.
     """
     h = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
     row = df.select(h.alias("h")).agg(
@@ -107,9 +108,16 @@ def run_history(out_dir: str) -> list[dict]:
 
 
 def latest_run(out_dir: str) -> Optional[dict]:
-    """The registry's newest entry — outputs whose run_id column equals
-    latest_run()['run_id'] are the is_latest rows (tables.py:184-246)."""
+    """The newest registry entry that actually WROTE data — outputs
+    whose run_id column equals latest_run()['run_id'] are the
+    is_latest rows (tables.py:184-246).  No-op resumes (all groups
+    already committed) are recorded in the registry but skipped here:
+    their run_id appears on no output row, so treating them as latest
+    would make the is_latest set empty."""
     hist = run_history(out_dir)
+    for entry in reversed(hist):
+        if entry.get("groups_processed"):
+            return entry
     return hist[-1] if hist else None
 
 

@@ -32,6 +32,7 @@ Integrated-path parity notes (all mirrored by the Spark stages):
 from __future__ import annotations
 
 from datetime import date
+from decimal import Decimal
 from typing import Optional
 
 from .classify import (
@@ -93,6 +94,12 @@ def score_conversation(records: list[dict],
     closing = (bearing[-1]["closing_balance"]
                if bearing and bearing[-1].get("closing_balance_distinct")
                else None)
+    # quantize to the at-rest scale (DecimalType(15,2)) the distributed
+    # stage reads back, so the mismatch-gate diff — and its rendering
+    # inside the gate name — agree for markers like '1,500' (scale 0)
+    q2 = Decimal("0.01")
+    opening = opening.quantize(q2) if opening is not None else None
+    closing = closing.quantize(q2) if closing is not None else None
     result = score_document(tx_dicts, opening_balance=opening,
                             closing_balance=closing)
     result["final_status"] = (

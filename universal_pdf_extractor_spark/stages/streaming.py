@@ -69,11 +69,19 @@ def _assign_segments_stateful(key, pdfs, state):
     import pandas as pd
 
     conv_id = key[0]
+    first_seen = not state.exists
     n_bound, last_turn = (state.get if state.exists else (0, -1))
     frames = []
     for pdf in pdfs:
         pdf = pdf.sort_values("turn_idx")
-        flags = (pdf["turn_idx"].to_numpy() == 0) | pdf["strong_signal"].to_numpy()
+        flags = pdf["strong_signal"].to_numpy().copy()
+        if first_seen and len(pdf):
+            # the conversation's very first row is always a boundary —
+            # tracked via state existence, matching the batch window's
+            # row_number()==1 rule even when turn indices don't start
+            # at 0
+            flags[0] = True
+            first_seen = False
         segs = n_bound + np.cumsum(flags) - 1
         n_bound += int(flags.sum())
         if len(pdf):
