@@ -1086,6 +1086,142 @@ def transcripts_segment_ranges(spark, sf_dir):
     return out.select("conv_id", "segment_index", "start_turn", "end_turn")
 
 
+def _classification_sql() -> str:
+    """Generated oracle for conversation classification (C1/C2 +
+    currency): the doc-family weighted keyword folds, provider argmax
+    and currency marker counts re-derived in SQL from the same pattern
+    tables over the snapshot.  Float parity: the keyword score is a
+    left fold over per-pattern 0.15/0.12-or-0.0 terms in pattern order
+    (list_reduce), exactly matching the Spark stage's chained adds.
+
+    One RE2 limitation: the motor-finance pattern
+    r"\\bhp\\b(?!\\s*(sauce|printer))" uses a negative lookahead RE2
+    lacks; the oracle decomposes it as (matches hp) AND NOT (matches
+    hp-sauce/printer), which diverges only for texts containing BOTH a
+    suppressed and a bare 'hp' — verified absent from the snapshot
+    corpus (zero \\bhp\\b occurrences).
+    """
+    from .kernels.classify import (
+        BANK_STATEMENT_WEIGHT,
+        CLASSIFY_FLOOR,
+        CURRENCY_PATTERN_STRINGS,
+        MOTOR_FINANCE_WEIGHT,
+        PROVIDER_MATCH_WEIGHT,
+    )
+    from .kernels.patterns import (
+        BANK_STATEMENT_KEYWORDS,
+        MOTOR_FINANCE_KEYWORDS,
+        PROVIDER_PATTERNS,
+        _noncapturing,
+    )
+
+    def term(pattern: str, weight: float) -> str:
+        if pattern == r"\bhp\b(?!\s*(sauce|printer))":
+            cond = (r"(regexp_matches(t, '\bhp\b') AND NOT "
+                    r"regexp_matches(t, '\bhp\b\s*(?:sauce|printer)'))")
+        else:
+            cond = f"regexp_matches(t, '{_sql_regex(_noncapturing(pattern))}')"
+        return f"CASE WHEN {cond} THEN {weight} ELSE 0.0 END"
+
+    def fold(patterns: list[str], weight: float) -> str:
+        terms = ", ".join(term(p, weight) for p in patterns)
+        return (f"least(list_reduce(list_prepend(0.0, [{terms}]),"
+                f" (a, x) -> a + x), 1.0)")
+
+    mf = fold(MOTOR_FINANCE_KEYWORDS, MOTOR_FINANCE_WEIGHT)
+    bs = fold(BANK_STATEMENT_KEYWORDS, BANK_STATEMENT_WEIGHT)
+
+    prov_cols = []
+    names = list(PROVIDER_PATTERNS)
+    for prov, pats in PROVIDER_PATTERNS.items():
+        cnts = " + ".join(
+            f"CASE WHEN regexp_matches(t, '{_sql_regex(_noncapturing(p))}')"
+            f" THEN 1 ELSE 0 END" for p in pats)
+        safe = prov.lower().replace(" ", "_").replace("-", "_")
+        prov_cols.append(
+            f"least(({cnts}) * {PROVIDER_MATCH_WEIGHT}, 1.0) AS s_{safe}")
+    safe_names = [p.lower().replace(" ", "_").replace("-", "_") for p in names]
+    best_when_s, best_when_n = [], []
+    for i, (prov, safe) in enumerate(zip(names, safe_names)):
+        cond = " AND ".join(f"s_{safe} >= s_{o}" for o in safe_names[i + 1:]) or "TRUE"
+        best_when_s.append(f"WHEN {cond} THEN s_{safe}")
+        best_when_n.append(f"WHEN {cond} THEN '{prov}'")
+
+    ccy_cnt = {c: f"len(regexp_extract_all(t, '{_sql_regex(p)}'))"
+               for c, p in CURRENCY_PATTERN_STRINGS}
+    currency = f"""
+        CASE WHEN {ccy_cnt['GBP']} >= {ccy_cnt['USD']}
+              AND {ccy_cnt['GBP']} >= {ccy_cnt['EUR']}
+              AND {ccy_cnt['GBP']} > 0 THEN 'GBP'
+             WHEN {ccy_cnt['USD']} >= {ccy_cnt['EUR']}
+              AND {ccy_cnt['USD']} > 0 THEN 'USD'
+             WHEN {ccy_cnt['EUR']} > 0 THEN 'EUR'
+             ELSE 'GBP' END"""
+
+    return rf"""
+    WITH turns_in AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN text IS NOT NULL AND text <> '' THEN text
+                    WHEN tool IS NOT NULL AND tool <> '' THEN tool
+                    ELSE '' END AS payload
+        FROM read_parquet('{TRANSCRIPTS_SNAPSHOT}/*.parquet')),
+    turn_raw AS (
+        SELECT conv_id, turn_idx,
+               coalesce(array_to_string(list_filter(
+                   list_transform(string_split(payload, chr(10)),
+                                  l -> trim(regexp_replace(l, '\s+', ' ', 'g'))),
+                   l -> l <> ''), chr(10)), '') AS raw_text
+        FROM turns_in),
+    conv AS (
+        SELECT conv_id,
+               lower(coalesce(string_agg(raw_text, chr(10) ORDER BY turn_idx)
+                              FILTER (WHERE raw_text <> ''), '')) AS t
+        FROM turn_raw GROUP BY conv_id),
+    scored AS (
+        SELECT conv_id, {mf} AS mf, {bs} AS bs,
+               {', '.join(prov_cols)},
+               {currency} AS currency
+        FROM conv),
+    best AS (
+        SELECT conv_id, mf, bs, currency,
+               CASE {' '.join(best_when_s)} END AS best_score,
+               CASE {' '.join(best_when_n)} END AS best_name
+        FROM scored)
+    SELECT conv_id,
+           CASE WHEN bs > mf AND bs >= {CLASSIFY_FLOOR} THEN 'BANK_STATEMENT'
+                WHEN mf > bs AND mf >= {CLASSIFY_FLOOR} THEN 'MOTOR_FINANCE'
+                ELSE 'UNKNOWN' END AS doc_family,
+           CASE WHEN bs > mf AND bs >= {CLASSIFY_FLOOR} THEN bs
+                WHEN mf > bs AND mf >= {CLASSIFY_FLOOR} THEN mf
+                ELSE greatest(bs, mf) END AS doc_family_confidence,
+           CASE WHEN best_score > 0 THEN best_name END AS provider,
+           CASE WHEN best_score > 0 THEN best_score END AS provider_confidence,
+           currency
+    FROM best
+    """
+
+
+@register("transcripts_classification", None)  # SQL attached below
+def transcripts_classification(spark, sf_dir):
+    """C1/C2 + currency over the snapshot corpus, oracle-checked: the
+    classification regex folds and argmaxes are pure column math, so
+    the oracle re-derives them from the same pattern tables."""
+    from .stages.classify import classify_stage
+    from .stages.tokenize import tokenize_stage
+
+    sf = sf_from_dir(sf_dir)
+    n_convs = min(n_convs_for_sf(sf), 2_000)
+    if _SNAPSHOT_WRITTEN != {n_convs}:
+        transcripts_sdf(spark, n_convs).write.mode("overwrite") \
+            .parquet(TRANSCRIPTS_SNAPSHOT)
+        _SNAPSHOT_WRITTEN.clear()
+        _SNAPSHOT_WRITTEN.add(n_convs)
+    turns = tokenize_stage(spark.read.parquet(TRANSCRIPTS_SNAPSHOT))
+    conv = classify_stage(turns)
+    return conv.select("conv_id", "doc_family", "doc_family_confidence",
+                       "provider", "provider_confidence", "currency")
+
+
 def _attach_turns_sql() -> None:
     """Attach the transcripts-view oracles (built from the pattern
     tables at import time; registered post-hoc so the shared CTE is
@@ -1107,6 +1243,8 @@ def _attach_turns_sql() -> None:
     FROM turn_segmented
     GROUP BY conv_id, segment_index
 """)
+    fn, _ = _REGISTRY["transcripts_classification"]
+    _REGISTRY["transcripts_classification"] = (fn, _classification_sql())
 
 
 _attach_turns_sql()
