@@ -115,8 +115,15 @@ def ngram_jaccard_pairs(documents: DataFrame,
     # rare-first rank within each doc; prefix keeps the filter lossless
     ranked = exploded.join(df_counts, "shingle")
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # overshoot-safe bound: IEEE t*n can land epsilon ABOVE an exact
+    # integer (0.55*100 = 55.000000000000007 -> ceil 56, one short),
+    # silently dropping exact-boundary pairs; subtracting 1e-9 before
+    # ceil restores the mathematical ceil for every rational t with a
+    # short decimal literal (product error ~1e-13 << 1e-9 << 1 ulp of
+    # any integer boundary at realistic n)
     prefix_len = (F.col("n_shingles")
-                  - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1)
+                  - F.ceil(F.lit(threshold) * F.col("n_shingles") - F.lit(1e-9))
+                  + 1)
     prefix = (ranked.withColumn("_r", F.row_number().over(w))
               .where(F.col("_r") <= prefix_len)
               .select("doc_id", "n_shingles", "shingle"))
@@ -125,11 +132,12 @@ def ngram_jaccard_pairs(documents: DataFrame,
                          F.col("n_shingles").alias("na"), "shingle")
     right = prefix.select(F.col("doc_id").alias("b"),
                           F.col("n_shingles").alias("nb"), "shingle")
-    # size filter (also lossless): jaccard >= t forces t*|B| <= |A| <= |B|/t
+    # size filter (also lossless): jaccard >= t forces t*|B| <= |A| <= |B|/t;
+    # same epsilon as the prefix bound so exact-boundary sizes survive
     candidates = (left.join(right, "shingle")
                   .where((F.col("a") < F.col("b"))
-                         & (F.col("na") >= F.lit(threshold) * F.col("nb"))
-                         & (F.col("nb") >= F.lit(threshold) * F.col("na")))
+                         & (F.col("na") >= F.lit(threshold) * F.col("nb") - F.lit(1e-9))
+                         & (F.col("nb") >= F.lit(threshold) * F.col("na") - F.lit(1e-9)))
                   .select("a", "b").distinct())
 
     sa = docs.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sa"),

@@ -1252,12 +1252,22 @@ _attach_turns_sql()
 
 @register("transcripts_records", None)
 def transcripts_records(spark, sf_dir):
-    return _pipeline_outputs(spark, sf_dir)["records"]
+    """Flagship records output.  The driver canonicalizes results by
+    sorting/factorizing a pandas frame, which cannot hash list cells —
+    array columns are therefore projected through to_json (a
+    deterministic, sortable string; the pipeline schema itself keeps
+    the structs, see stages/extract.py RECORDS_STAGE_SCHEMA)."""
+    rec = _pipeline_outputs(spark, sf_dir)["records"]
+    return rec.withColumn("evidence", F.to_json("evidence"))
 
 
 @register("transcripts_conversations", None)
 def transcripts_conversations(spark, sf_dir):
-    return _pipeline_outputs(spark, sf_dir)["conversations"]
+    """Conversation rollup output; array columns stringified for the
+    driver's canonicalization (see transcripts_records)."""
+    conv = _pipeline_outputs(spark, sf_dir)["conversations"]
+    return (conv.withColumn("hard_gate_failures", F.to_json("hard_gate_failures"))
+                .withColumn("warnings", F.to_json("warnings")))
 
 
 @register("transcripts_segments", None)

@@ -118,7 +118,11 @@ def latest_run(out_dir: str) -> Optional[dict]:
     for entry in reversed(hist):
         if entry.get("groups_processed"):
             return entry
-    return hist[-1] if hist else None
+    # registry holds only no-op runs (e.g. runs.jsonl created after the
+    # data was committed): no run_id matches any output row, so there
+    # is no latest run — callers must handle None rather than receive
+    # an entry that selects an empty is_latest set
+    return None
 
 
 def run_with_resume(transcripts: DataFrame,

@@ -113,10 +113,16 @@ def conversation_text(turns: DataFrame,
     w = (Window.partitionBy("conv_id").orderBy("turn_idx")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum(F.length(F.col("raw_text")) + F.lit(1)).over(w)
+    # the first turn is ALWAYS included even when it alone exceeds the
+    # cap — otherwise an oversized opening turn yields conv_text='' and
+    # a silent UNKNOWN classification instead of classifying on a
+    # truncated-to-one-turn prefix (same window spec, so no new sort)
+    rn = F.row_number().over(Window.partitionBy("conv_id").orderBy("turn_idx"))
     # collect_list drops the when()'s nulls -> over-cap turns excluded
     # without a second aggregation or join; the window reuses the
     # segment stage's exchange + sort
-    in_cap = F.when(cum <= char_cap, F.struct("turn_idx", "raw_text"))
+    in_cap = F.when((rn == 1) | (cum <= char_cap),
+                    F.struct("turn_idx", "raw_text"))
     return turns.withColumn("_in_cap", in_cap).groupBy("conv_id").agg(
         F.array_join(F.filter(
             F.transform(F.array_sort(F.collect_list("_in_cap")),

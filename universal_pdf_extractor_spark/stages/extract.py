@@ -194,9 +194,12 @@ def segments_table(turns_seg: DataFrame, records: DataFrame) -> DataFrame:
         F.min("turn_idx").cast("int").alias("start_turn"),
         F.max("turn_idx").cast("int").alias("end_turn"),
     )
+    # the segment markers are constant across a segment's records, but
+    # the pick is made order-explicit (min_by row_index) rather than
+    # relying on F.first()'s undefined choice
     rec_agg = records.groupBy("conv_id", "segment_index").agg(
-        F.first("segment_opening_balance").alias("opening_balance"),
-        F.first("segment_closing_balance").alias("closing_balance"),
+        F.min_by("segment_opening_balance", "row_index").alias("opening_balance"),
+        F.min_by("segment_closing_balance", "row_index").alias("closing_balance"),
         F.count(F.lit(1)).cast("int").alias("n_records"),
     )
     return (

@@ -74,6 +74,14 @@ def _assign_segments_stateful(key, pdfs, state):
     frames = []
     for pdf in pdfs:
         pdf = pdf.sort_values("turn_idx")
+        if len(pdf) and int(pdf["turn_idx"].iloc[0]) <= last_turn:
+            # the file source orders batches by modification time, not
+            # filename: out-of-order arrival would silently mis-number
+            # every later segment, so fail loudly instead
+            raise ValueError(
+                f"out-of-order turns for {conv_id}: got turn_idx "
+                f"{int(pdf['turn_idx'].iloc[0])} after {last_turn}; "
+                "stream input files must arrive in turn order")
         flags = pdf["strong_signal"].to_numpy().copy()
         if first_seen and len(pdf):
             # the conversation's very first row is always a boundary —
