@@ -153,37 +153,45 @@ def ngram_jaccard_pairs(documents: DataFrame,
     return verified
 
 
-def _affine_minhash(shingle_hash, a: int, b: int):
-    """Universal-hash permutation over a 61-bit Mersenne field."""
-    return F.pmod(shingle_hash * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME))
-
-
 def minhash_signatures(documents: DataFrame,
                        num_hashes: int = 64,
                        n: int = 3,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """(doc_id, signature[num_hashes]) via affine permutations of
-    hash60(shingle)."""
+    hash60(shingle).
+
+    Computed as ONE F.aggregate fold over the shingle-hash array: the
+    md5-derived hash60 runs exactly once per shingle, with the k
+    permutations reduced to k multiply-add-mod integer ops per
+    element.  (The previous k separate array_min(transform(hs, ...))
+    projections collapsed under CollapseProject into k copies of the
+    md5 pipeline — a ~k x constant-factor regression on the signature
+    stage.)  Values are unchanged: min over pmod(h*a_i + b_i, p) with
+    a_i = 2i+1, b_i = (i*0x9E3779B9 + 0x85EBCA6B) mod p."""
+    p = MERSENNE_PRIME
     docs = documents.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), n).alias("shingles"),
     )
-    hashed = docs.select(
-        "doc_id",
-        F.transform("shingles",
-                    lambda s: F.pmod(hash60(s), F.lit(MERSENNE_PRIME))).alias("hs"),
+    hs = F.transform("shingles", lambda s: F.pmod(hash60(s), F.lit(p)))
+    ab = F.arrays_zip(
+        F.array(*[F.lit(2 * i + 1).cast("long") for i in range(num_hashes)]).alias("a"),
+        F.array(*[F.lit((i * 0x9E3779B9 + 0x85EBCA6B) % p).cast("long")
+                  for i in range(num_hashes)]).alias("b"),
     )
-    # fixed deterministic coefficients: a_i = 2i+1 (odd), b_i mixed
-    def _perm(a: int, b: int):
-        return lambda h: _affine_minhash(h, a, b)
-
-    sig_cols = []
-    for i in range(num_hashes):
-        a = 2 * i + 1
-        b = (i * 0x9E3779B9 + 0x85EBCA6B) % MERSENNE_PRIME
-        sig_cols.append(F.array_min(F.transform("hs", _perm(a, b))).alias(f"mh_{i}"))
-    return hashed.select("doc_id", F.array(*sig_cols).alias("signature"))
+    # p is an unreachable sentinel (pmod < p always): a doc whose only
+    # shingle hash is null (null/empty text) folds to [p]*k, mapped
+    # back to nulls below to keep the all-null-signature contract the
+    # SQL oracle's list_min reproduces
+    init = F.array(*[F.lit(p).cast("long")] * num_hashes)
+    folded = F.aggregate(
+        hs, init,
+        lambda acc, h: F.zip_with(
+            acc, ab,
+            lambda m, c: F.least(m, F.pmod(h * c["a"] + c["b"], F.lit(p)))))
+    sig = F.transform(folded, lambda v: F.when(v < p, v))
+    return docs.select("doc_id", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(documents: DataFrame,
@@ -200,26 +208,48 @@ def minhash_lsh_pairs(documents: DataFrame,
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, num_hashes, n, id_col, text_col)
+    # materialization barrier: the exchange pins the signature
+    # projection BELOW it, so (a) downstream band-key extracts read the
+    # computed array instead of inlining the md5 pipeline per extract
+    # (CollapseProject), and (b) the self-join's two sides share ONE
+    # signature computation via ReusedExchange instead of scanning +
+    # hashing the corpus twice
+    sigs = sigs.repartition("doc_id")
 
-    # band bucket key: '_'-joined minhash values (engine-neutral exact
-    # key, unlike Spark's murmur hash(); the string is bounded at
-    # rows_per_band * 11 chars)
+    # band bucket key: minhash values pair-packed into BIGINTs
+    # (v0 * 2^31 + v1 is exact — values are < 2^31-1), an
+    # engine-neutral EXACT key: equal keys <=> equal band values, so
+    # candidate semantics are identical to joining on the raw values
+    # (and to the oracle's string-joined bucket), with integer join
+    # keys instead of per-row string building.  A null signature
+    # (null/empty text) nulls every key, so such docs never join.
+    n_keys = (rows_per_band + 1) // 2
+    key_names = [f"k{j}" for j in range(n_keys)]
+
+    def _band_keys(band: int) -> list:
+        base = band * rows_per_band
+        keys = []
+        for j in range(0, rows_per_band, 2):
+            v0 = F.col("signature")[base + j]
+            if j + 1 < rows_per_band:
+                packed = v0 * F.lit(1 << 31) + F.col("signature")[base + j + 1]
+            else:
+                packed = v0
+            keys.append(packed.alias(f"k{j // 2}"))
+        return keys
+
     banded = sigs.select(
         "doc_id", "signature",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.concat_ws("_", *[F.col("signature")[band * rows_per_band + r]
-                                   for r in range(rows_per_band)]).alias("bucket"),
-            )
+            F.struct(F.lit(band).alias("band"), *_band_keys(band))
             for band in range(bands)
         ])).alias("bb"),
-    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    ).select("doc_id", "signature", "bb.band", *[f"bb.{k}" for k in key_names])
 
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (
-        left.join(right, ["band", "bucket"])
+        left.join(right, ["band", *key_names])
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
                 F.col("l.signature").alias("sa"), F.col("r.signature").alias("sb"))
