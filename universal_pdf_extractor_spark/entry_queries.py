@@ -20,6 +20,9 @@ check.  The remaining no-oracle entries, each with its reason:
   (transcripts_turns in full, segment turn ranges) ARE oracle-checked.
 - multimodal_features: payloads are Spark-generated binaries with no
   DuckDB-side source, and the decode step is a documented stub.
+- transcripts_detected_tables: the histogram/peak column geometry it
+  reports IS the non-relational kernel; the per-engine routing and
+  row counts are pinned by tests/test_fallback_tiers.py.
 - transcripts_token_ir: token bboxes need per-match regex character
   offsets, which DuckDB's regex surface cannot produce.  The token
   contract (ordering, offsets, geometry) is pinned by test_layout.
@@ -1273,6 +1276,17 @@ def transcripts_conversations(spark, sf_dir):
 @register("transcripts_segments", None)
 def transcripts_segments(spark, sf_dir):
     return _pipeline_outputs(spark, sf_dir)["segments"]
+
+
+@register("transcripts_detected_tables", None)
+def transcripts_detected_tables(spark, sf_dir):
+    """detected_tables diagnostics (tables.py:252-292 analogue): per
+    segment, which engine produced the table (column_histogram /
+    text_grid / delim_grid / row_pattern / none), its column geometry,
+    role map and header line.  No SQL oracle: the histogram/peak
+    geometry is the non-relational kernel itself; the row/engine
+    contract is pinned by tests/test_fallback_tiers.py."""
+    return _pipeline_outputs(spark, sf_dir)["detected_tables"]
 
 
 def queries() -> dict[str, QueryFn]:

@@ -124,6 +124,15 @@ def conversation_payload(conv_index: int, seed: int = SEED) -> list[dict]:
         kind = "bank_statement"
 
     variant = conv_index % 4  # solver layout case 1..4
+    # table rendering style: most statements are fixed-width columns
+    # (the histogram path); a deterministic slice are pipe-delimited
+    # (defeats the >=2-space grid split -> delim fallback tier) or
+    # single-spaced (defeats both splitters -> pattern fallback tier)
+    table_style = "columns"
+    if conv_index % 23 == 7:
+        table_style = "pipes"
+    elif conv_index % 23 == 15:
+        table_style = "spaces"
     provider, provider_line, sort_code = _PROVIDER_HEADERS[conv_index % len(_PROVIDER_HEADERS)]
     name = _NAMES[conv_index % len(_NAMES)]
     who = conv_index % len(_POSTCODES)
@@ -146,6 +155,10 @@ def conversation_payload(conv_index: int, seed: int = SEED) -> list[dict]:
         ]
 
     def table_header() -> str:
+        if table_style == "pipes":
+            return "Date | Description | Amount | Balance"
+        if table_style == "spaces":
+            return "Date Description Amount Balance"
         if variant == 0:
             return f"{'Date':<13} {'Description':<34}{'Paid Out':>12}{'Paid In':>12}{'Balance':>14}"
         if variant == 2:
@@ -154,6 +167,10 @@ def conversation_payload(conv_index: int, seed: int = SEED) -> list[dict]:
 
     def opening_line() -> str:
         s = _money(balance_pennies)
+        if table_style == "pipes":
+            return f" | Balance brought forward | | {s}"
+        if table_style == "spaces":
+            return f"Balance brought forward {s}"
         if variant == 0:
             return _fmt_row_case1("", "Balance brought forward", "", "", s)
         if variant == 2:
@@ -176,6 +193,17 @@ def conversation_payload(conv_index: int, seed: int = SEED) -> list[dict]:
             date_s = date_style(row_date)
             amt_s = _money(amt)
             bal_s = _money(reported)
+            if table_style == "pipes":
+                signed = amt_s if is_credit else f"-{amt_s}"
+                out.append(f"{date_s} | {desc} | {signed} | {bal_s}")
+                continue
+            if table_style == "spaces":
+                signed = amt_s if is_credit else f"-{amt_s}"
+                # ragged indentation (OCR'd-plaintext analogue): keeps
+                # the x-histogram from finding stable columns, so these
+                # segments exercise the pattern fallback tier
+                out.append(f"{' ' * (len(out) % 7)}{date_s} {desc} {signed} {bal_s}")
+                continue
             if variant == 0:
                 out.append(_fmt_row_case1(
                     date_s, desc, "" if is_credit else amt_s,

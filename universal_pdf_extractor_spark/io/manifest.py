@@ -175,10 +175,16 @@ def run_with_resume(transcripts: DataFrame,
                 for r in outputs["turns"].groupBy("extraction_path")
                 .agg(F.count(F.lit(1)).alias("n")).collect()}}
         if "records" in outputs:
-            meta.setdefault("engine_events", {})["records_by_parser"] = {
-                ("text_grid_table" if r["fallback_used"] else "column_path"): r["n"]
-                for r in outputs["records"].groupBy("fallback_used")
-                .agg(F.count(F.lit(1)).alias("n")).collect()}
+            # per-tier rescue accounting: fallback rows keep their
+            # tier's direction_source (text_grid_table / delim_table /
+            # row_pattern), main-path rows roll up as column_path
+            by_parser: dict = {}
+            for r in (outputs["records"]
+                      .groupBy("fallback_used", "direction_source")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()):
+                key = r["direction_source"] if r["fallback_used"] else "column_path"
+                by_parser[key] = by_parser.get(key, 0) + r["n"]
+            meta.setdefault("engine_events", {})["records_by_parser"] = by_parser
         for name in tables:
             df = outputs[name].withColumn("run_id", F.lit(run_id))
             path = os.path.join(out_dir, name, f"bucket_group={g}")

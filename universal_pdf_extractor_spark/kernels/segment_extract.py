@@ -153,125 +153,339 @@ def _assign_cells(header_cells: list[dict], row_cells: list[dict]) -> list[str]:
             for c in out]
 
 
-def _fallback_grid_records(lines: list[dict], today: date) -> list[dict]:
-    """Delimiter/multi-space grid parse when column detection fails.
+# b/f-c/f marker keywords skipped by the tabula/camelot-analogue tiers
+# (orchestrator.py:1073-1074, 1348-1349)
+_BF_CF_KW = ["brought forward", "carried forward", "b/f", "c/f"]
 
-    Mirrors the reference pdfplumber fallback row loop
-    (orchestrator.py:838-930): header mapped by keywords (row 0, then
-    row 1), last-date carry for dateless rows, role-driven
-    amount/direction (paid_in -> CREDIT, withdrawn -> DEBIT, balance ->
-    running balance, amount -> sign inference), rows without an amount
-    or matching is_summary_row skipped, fixed fallback confidences
-    (0.80 amount, 0.80/0.30 date, 0.90/0.40 direction,
-    orchestrator.py:957-962) and balance_confirmed=False.
-    """
-    grid = [(ln, _grid_cells(ln)) for ln in lines]
-    grid = [(ln, cells) for ln, cells in grid if cells]
-    if len(grid) < 2:
-        return []
 
-    # pdfplumber hands the reference an already-localized table, so it
-    # only probes table[0] / table[1] for the header
-    # (orchestrator.py:838-858); the text grid has no cropping step, so
-    # the header scan walks the segment for the first line whose cells
-    # map to a valid column set.
-    header_cells = None
-    col_map = None
-    data_start = None
-    for probe, (_, probe_cells) in enumerate(grid):
-        candidate = _map_grid_columns(probe_cells)
-        if _grid_col_map_valid(candidate):
-            header_cells, col_map = probe_cells, candidate
-            data_start = probe + 1
-            break
-    if col_map is None:
-        return []
+def _cells_to_fields(row_cells: list[dict], col_map: dict, last_date,
+                     today: date, turn: int, carry_date: bool = True):
+    """Shared cells -> (date, desc, amount, direction, balance) field
+    projection used by every fallback tier (the common body of the
+    reference's pdfplumber/tabula/camelot row loops,
+    orchestrator.py:860-930 / 1056-1110 / 1240-1281): date parse with
+    optional last-date carry, role-driven amount/direction (paid_in ->
+    CREDIT, withdrawn -> DEBIT, balance -> running balance, amount ->
+    sign inference), with per-field evidence spans."""
+    evidence: list[dict] = []
 
-    records: list[dict] = []
-    last_date = None
-    for ln, cells in grid[data_start:]:
-        row_cells = _assign_cells(header_cells, cells)
-        turn = int(ln.get("turn_idx", 0))
-        evidence: list[dict] = []
+    def _ev(field: str, cell: dict) -> None:
+        if cell.get("start") is not None:
+            evidence.append({"field": field, "turn_idx": turn,
+                             "start": int(cell["start"]),
+                             "end": int(cell["end"])})
 
-        def _ev(field: str, cell: dict) -> None:
-            if cell.get("start") is not None:
-                evidence.append({"field": field, "turn_idx": turn,
-                                 "start": int(cell["start"]),
-                                 "end": int(cell["end"])})
-
-        date_val = None
-        date_cell = row_cells[col_map["date_col"]]
+    date_val = None
+    dc = col_map.get("date_col")
+    if dc is not None and dc < len(row_cells):
+        date_cell = row_cells[dc]
         if date_cell["text"]:
             parsed = parse_date(date_cell["text"], today=today)
             if parsed.parsed_date:
                 date_val = parsed.parsed_date
                 last_date = date_val
                 _ev("date", date_cell)
-        if date_val is None and last_date:
-            date_val = last_date
+    if date_val is None and carry_date and last_date:
+        date_val = last_date
 
-        desc = ""
-        if col_map.get("desc_col") is not None:
-            desc_cell = row_cells[col_map["desc_col"]]
-            desc = desc_cell["text"]
-            if desc:
-                _ev("description", desc_cell)
+    desc = ""
+    if col_map.get("desc_col") is not None and col_map["desc_col"] < len(row_cells):
+        desc_cell = row_cells[col_map["desc_col"]]
+        desc = desc_cell["text"]
+        if desc:
+            _ev("description", desc_cell)
 
-        amount = None
-        direction = "UNKNOWN"
-        balance = None
-        for ac in col_map["amount_cols"]:
-            idx, role = ac["index"], ac["role"]
-            if idx < len(row_cells) and row_cells[idx]["text"]:
-                ap = parse_amount(row_cells[idx]["text"])
-                if ap.amount is None:
-                    continue
-                if role == "paid_in":
-                    amount = abs(ap.amount)
-                    direction = "CREDIT"
-                    _ev("credit", row_cells[idx])
-                elif role == "withdrawn":
-                    amount = abs(ap.amount)
+    amount = None
+    direction = "UNKNOWN"
+    balance = None
+    for ac in col_map["amount_cols"]:
+        idx, role = ac["index"], ac["role"]
+        if idx < len(row_cells) and row_cells[idx]["text"]:
+            ap = parse_amount(row_cells[idx]["text"])
+            if ap.amount is None:
+                continue
+            if role == "paid_in":
+                amount = abs(ap.amount)
+                direction = "CREDIT"
+                _ev("credit", row_cells[idx])
+            elif role == "withdrawn":
+                amount = abs(ap.amount)
+                direction = "DEBIT"
+                _ev("debit", row_cells[idx])
+            elif role == "balance":
+                balance = ap.amount
+                _ev("balance", row_cells[idx])
+            elif role == "amount" and amount is None:
+                amount = abs(ap.amount)
+                if ap.amount < 0:
                     direction = "DEBIT"
-                    _ev("debit", row_cells[idx])
-                elif role == "balance":
-                    balance = ap.amount
-                    _ev("balance", row_cells[idx])
-                elif role == "amount" and amount is None:
-                    amount = abs(ap.amount)
-                    if ap.amount < 0:
-                        direction = "DEBIT"
-                    elif ap.amount > 0:
-                        direction = "CREDIT"
-                    _ev("amount", row_cells[idx])
+                elif ap.amount > 0:
+                    direction = "CREDIT"
+                _ev("amount", row_cells[idx])
+    return date_val, last_date, desc, amount, direction, balance, evidence
 
+
+def _fallback_record(row_index: int, ln: dict, date_val, desc: str, amount,
+                     direction: str, balance, evidence: list[dict],
+                     source: str, conf_amount: float, conf_date_hi: float,
+                     conf_dir_hi: float, conf_dir_lo: float) -> dict:
+    """Fallback transaction row with the tier's fixed confidences
+    (orchestrator.py:957-962 pdfplumber, :1155-1159 tabula,
+    :1322-1326 camelot) and balance_confirmed=False."""
+    return {
+        "row_index": row_index,
+        "turn_idx": int(ln.get("turn_idx", 0)),
+        "line_indices": [ln.get("line_index", 0)],
+        "posted_date": date_val,
+        "description_raw": desc[:500] if desc else "",
+        "description_clean": (desc[:500] if desc else "").strip(),
+        "amount": Decimal(amount).quantize(Decimal("0.01")),
+        "direction": direction,
+        "direction_source": source,
+        "running_balance": (Decimal(balance).quantize(Decimal("0.01"))
+                            if balance is not None else None),
+        "balance_confirmed": False,
+        "balance_tolerance_used": Decimal("0").quantize(Decimal("0.0001")),
+        "confidence_amount": conf_amount,
+        "confidence_date": conf_date_hi if date_val else 0.30,
+        "confidence_direction": conf_dir_hi if direction != "UNKNOWN" else conf_dir_lo,
+        "evidence": evidence,
+    }
+
+
+def _scan_grid_header(grid: list[tuple]) -> tuple:
+    """First line whose cells map to a valid column set.
+
+    pdfplumber hands the reference an already-localized table, so it
+    only probes table[0] / table[1] for the header
+    (orchestrator.py:838-858); the text grid has no cropping step, so
+    the header scan walks the segment."""
+    for probe, (_, probe_cells) in enumerate(grid):
+        candidate = _map_grid_columns(probe_cells)
+        if _grid_col_map_valid(candidate):
+            return probe_cells, candidate, probe + 1
+    return None, None, None
+
+
+def _fallback_grid_records(lines: list[dict], today: date) -> tuple[list[dict], dict]:
+    """Tier 1: multi-space grid parse when column detection fails.
+
+    Mirrors the reference pdfplumber fallback row loop
+    (orchestrator.py:838-930): header mapped by keywords, last-date
+    carry for dateless rows, rows without an amount or matching
+    is_summary_row skipped, fixed confidences (0.80 amount, 0.80/0.30
+    date, 0.90/0.40 direction, orchestrator.py:957-962).
+    """
+    grid = [(ln, _grid_cells(ln)) for ln in lines]
+    grid = [(ln, cells) for ln, cells in grid if cells]
+    if len(grid) < 2:
+        return [], {}
+
+    header_cells, col_map, data_start = _scan_grid_header(grid)
+    if col_map is None:
+        return [], {}
+
+    records: list[dict] = []
+    last_date = None
+    for ln, cells in grid[data_start:]:
+        row_cells = _assign_cells(header_cells, cells)
+        turn = int(ln.get("turn_idx", 0))
+        date_val, last_date, desc, amount, direction, balance, evidence = \
+            _cells_to_fields(row_cells, col_map, last_date, today, turn)
         if amount is None:
             continue
         full_row_text = " ".join(c["text"] for c in cells)
         if is_summary_row(desc) or is_summary_row(full_row_text):
             continue
+        records.append(_fallback_record(
+            len(records), ln, date_val, desc, amount, direction, balance,
+            evidence, "text_grid_table", 0.80, 0.80, 0.90, 0.40))
+    return records, {"column_count": len(header_cells),
+                     "header_line": data_start - 1,
+                     "column_mapping": col_map}
 
-        records.append({
-            "row_index": len(records),
-            "turn_idx": int(ln.get("turn_idx", 0)),
-            "line_indices": [ln.get("line_index", 0)],
-            "posted_date": date_val,
-            "description_raw": desc[:500] if desc else "",
-            "description_clean": (desc[:500] if desc else "").strip(),
-            "amount": Decimal(amount).quantize(Decimal("0.01")),
-            "direction": direction,
-            "direction_source": "text_grid_table",
-            "running_balance": (Decimal(balance).quantize(Decimal("0.01"))
-                                if balance is not None else None),
-            "balance_confirmed": False,
-            "balance_tolerance_used": Decimal("0").quantize(Decimal("0.0001")),
-            "confidence_amount": 0.80,
-            "confidence_date": 0.80 if date_val else 0.30,
-            "confidence_direction": 0.90 if direction != "UNKNOWN" else 0.40,
-            "evidence": evidence,
-        })
-    return records
+
+_DELIM_RE = _re.compile(r"[|;]")
+
+
+def _delim_cells(line: dict) -> Optional[list[dict]]:
+    """Split a tokenized line into cells on explicit delimiters
+    (pipes/semicolons), the character-stream analogue of tabula's
+    ruled-and-delimited table extraction (orchestrator.py:1007-1021
+    stream/lattice read).  Returns None when the line carries no
+    delimiter at all — the tier only engages on delimited rows.
+    Delimiters are non-whitespace, so they arrive INSIDE token text;
+    offsets of the split fragments are recovered from the token span.
+    Empty cells between adjacent delimiters are kept: the mapping is
+    positional, like the aligned frames tabula hands the reference.
+    """
+    cells: list[list[tuple]] = []
+    cur: list[tuple] = []
+    saw_delim = False
+    for t in line["tokens"]:
+        if _DELIM_RE.search(t["text"]):
+            saw_delim = True
+            pos = 0
+            parts = _DELIM_RE.split(t["text"])
+            for k, part in enumerate(parts):
+                if part:
+                    cur.append((part, t["start"] + pos, t["start"] + pos + len(part)))
+                pos += len(part) + 1
+                if k < len(parts) - 1:
+                    cells.append(cur)
+                    cur = []
+        else:
+            cur.append((t["text"], t["start"], t["end"]))
+    cells.append(cur)
+    if not saw_delim:
+        return None
+    return [{"text": " ".join(f[0] for f in c),
+             "start": (c[0][1] if c else None),
+             "end": (c[-1][2] if c else None)}
+            for c in cells]
+
+
+def _fallback_delim_records(lines: list[dict], today: date) -> tuple[list[dict], dict]:
+    """Tier 2 (tabula analogue, orchestrator.py:982-1173): delimiter-
+    split parse for pipe/semicolon tables the multi-space grid cannot
+    segment (single-space-padded delimiters defeat the >=2-gap split).
+    Cell-to-column mapping is positional with bounds checks, exactly
+    the reference's guarded ``idx < len(cells)`` frame indexing;
+    b/f-c/f marker rows are skipped by keyword
+    (orchestrator.py:1073-1074); confidences 0.82 amount, 0.82/0.30
+    date, 0.90/0.40 direction (orchestrator.py:1155-1159).
+    """
+    grid = [(ln, _delim_cells(ln)) for ln in lines]
+    grid = [(ln, cells) for ln, cells in grid if cells]
+    if len(grid) < 2:
+        return [], {}
+
+    header_cells, col_map, data_start = _scan_grid_header(grid)
+    if col_map is None:
+        return [], {}
+
+    records: list[dict] = []
+    last_date = None
+    for ln, cells in grid[data_start:]:
+        row_lower = " ".join(c["text"] for c in cells).lower()
+        if any(kw in row_lower for kw in _BF_CF_KW):
+            continue
+        turn = int(ln.get("turn_idx", 0))
+        date_val, last_date, desc, amount, direction, balance, evidence = \
+            _cells_to_fields(cells, col_map, last_date, today, turn)
+        if amount is None:
+            continue
+        if is_summary_row(desc) or is_summary_row(" ".join(c["text"] for c in cells)):
+            continue
+        records.append(_fallback_record(
+            len(records), ln, date_val, desc, amount, direction, balance,
+            evidence, "delim_table", 0.82, 0.82, 0.90, 0.40))
+    return records, {"column_count": len(header_cells),
+                     "header_line": data_start - 1,
+                     "column_mapping": col_map}
+
+
+# strictly money-shaped token (mandatory pence digits): the pattern
+# tier has no column geometry, so bare integers (house numbers,
+# merchant ids) must not qualify as amounts
+_PATTERN_MONEY_RE = _re.compile(
+    "^\\(?-?[" + chr(163) + chr(36) + chr(8364)
+    + r"]?(?:\d{1,3}(?:,\d{3})+|\d+)\.\d{2}\)?-?$")
+# camelot header gate: "date" + one table keyword (orchestrator.py:1333-1336)
+_PATTERN_HEADER_KW = ["description", "paid in", "withdrawn", "balance",
+                      "money in", "money out", "debit", "credit", "amount"]
+
+
+def _fallback_pattern_records(lines: list[dict], today: date) -> tuple[list[dict], dict]:
+    """Tier 3 (camelot analogue, orchestrator.py:1190-1330): token-
+    pattern row parse for single-space tables no splitter can segment.
+    Engages only after a header line containing 'date' plus a table
+    keyword (the reference's camelot header gate — which is what keeps
+    this tier from hallucinating rows out of chatter or motor-finance
+    prose); rows are then leading date tokens + trailing money tokens
+    (rightmost = balance when two are present) + middle description.
+    No last-date carry (the reference camelot loop has none);
+    confidences 0.75 amount, 0.75/0.30 date, 0.85/0.40 direction
+    (orchestrator.py:1322-1326).
+    """
+    header_found = False
+    header_line = None
+    records: list[dict] = []
+    for ln in lines:
+        row_lower = ln["text"].lower()
+        if not header_found:
+            if "date" in row_lower and any(kw in row_lower for kw in _PATTERN_HEADER_KW):
+                header_found = True
+                header_line = ln.get("line_index", 0)
+            continue
+        if any(kw in row_lower for kw in _BF_CF_KW):
+            continue
+        toks = ln["tokens"]
+        tail: list[dict] = []
+        i = len(toks) - 1
+        while i >= 0 and len(tail) < 2 and _PATTERN_MONEY_RE.match(toks[i]["text"]):
+            tail.append(toks[i])
+            i -= 1
+        if not tail:
+            continue
+        turn = int(ln.get("turn_idx", 0))
+        evidence: list[dict] = []
+
+        # leading date: grow the candidate one token at a time and keep
+        # an extension only when it CHANGES the parse (parse_date is
+        # tolerant of trailing text, so '12/01/2024 TESCO' parses too —
+        # an unchanged parse means the extra token added nothing and
+        # belongs to the description; '12 Jan' -> '12 Jan 2024' changes
+        # the inferred year, so genuine multi-token dates still grow)
+        date_val = None
+        date_end = 0
+        for j in range(1, min(3, i + 1) + 1):
+            parsed = parse_date(" ".join(t["text"] for t in toks[:j]),
+                                today=today).parsed_date
+            if parsed is not None and parsed != date_val:
+                date_val = parsed
+                date_end = j
+            elif date_val is not None:
+                break
+        if date_val is not None:
+            evidence.append({"field": "date", "turn_idx": turn,
+                             "start": int(toks[0]["start"]),
+                             "end": int(toks[date_end - 1]["end"])})
+
+        desc_toks = toks[date_end:i + 1]
+        desc = " ".join(t["text"] for t in desc_toks)
+        if desc_toks:
+            evidence.append({"field": "description", "turn_idx": turn,
+                             "start": int(desc_toks[0]["start"]),
+                             "end": int(desc_toks[-1]["end"])})
+
+        tail = tail[::-1]  # left-to-right: [amount] or [amount, balance]
+        amount_tok = tail[0]
+        ap = parse_amount(amount_tok["text"])
+        if ap.amount is None:
+            continue
+        amount = abs(ap.amount)
+        direction = "DEBIT" if ap.amount < 0 else ("CREDIT" if ap.amount > 0 else "UNKNOWN")
+        evidence.append({"field": "amount", "turn_idx": turn,
+                         "start": int(amount_tok["start"]),
+                         "end": int(amount_tok["end"])})
+        balance = None
+        if len(tail) == 2:
+            bp = parse_amount(tail[1]["text"])
+            if bp.amount is not None:
+                balance = bp.amount
+                evidence.append({"field": "balance", "turn_idx": turn,
+                                 "start": int(tail[1]["start"]),
+                                 "end": int(tail[1]["end"])})
+
+        if is_summary_row(desc) or is_summary_row(ln["text"]):
+            continue
+        records.append(_fallback_record(
+            len(records), ln, date_val, desc, amount, direction, balance,
+            evidence, "row_pattern", 0.75, 0.75, 0.85, 0.40))
+    return records, {"column_count": None,
+                     "header_line": header_line,
+                     "column_mapping": None}
 
 
 def _solver_view(fields: dict) -> dict:
@@ -304,22 +518,45 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
     direction_source, running_balance, balance_confirmed,
     tolerance_used, confidence_{amount,date,direction}.
     """
+    def _diag(engine: str, records: list, column_count=None, bbox=None,
+              header=None, column_mapping=None) -> dict:
+        """detected_tables diagnostics row (tables.py:252-292 analogue):
+        which engine produced the table, its geometry and role map."""
+        return {"engine": engine,
+                "table_type": "TRANSACTION_TABLE" if records else "UNKNOWN",
+                "row_count": len(records),
+                "column_count": column_count,
+                "bbox": bbox,
+                "header": header,
+                "column_mapping": column_mapping}
+
     empty = {"records": [], "opening_balance": None, "closing_balance": None,
-             "closing_balance_distinct": False, "fallback_used": False}
+             "closing_balance_distinct": False, "fallback_used": False,
+             "diagnostics": _diag("none", [])}
     if not lines:
         return empty
 
-    all_lines = lines  # pre-header-strip view for the fallback parser
+    all_lines = lines  # pre-header-strip view for the fallback parsers
 
     def _fallback():
-        """pdfplumber-fallback analogue (orchestrator.py:569-578): a
-        text-grid parse rescues the segment before giving up."""
-        records = _fallback_grid_records(all_lines, today)
-        if not records:
-            return empty
-        return {"records": records, "opening_balance": None,
-                "closing_balance": None, "closing_balance_distinct": False,
-                "fallback_used": True}
+        """Fallback cascade (orchestrator.py:569-578 pdfplumber ->
+        :982 tabula -> :1190 camelot): each tier gets the rescue
+        chance before the segment is abandoned."""
+        for tier_fn, tier_name in ((_fallback_grid_records, "text_grid"),
+                                   (_fallback_delim_records, "delim_grid"),
+                                   (_fallback_pattern_records, "row_pattern")):
+            records, info = tier_fn(all_lines, today)
+            if records:
+                return {"records": records, "opening_balance": None,
+                        "closing_balance": None,
+                        "closing_balance_distinct": False,
+                        "fallback_used": True,
+                        "diagnostics": _diag(
+                            tier_name, records,
+                            column_count=info.get("column_count"),
+                            header={"line_index": info.get("header_line")},
+                            column_mapping=info.get("column_mapping"))}
+        return empty
 
     columns = detect_columns(lines)
     if not columns:
@@ -429,12 +666,14 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
             "evidence": tx["evidence"],
         })
 
-    if not records:
+    if not any(r["amount"] is not None for r in records):
         # mis-detected column geometry can survive role assignment yet
-        # extract nothing (e.g. one mega-column whose header matches an
-        # amount keyword) — the worst silent failure at corpus scale.
-        # Give the grid fallback the same rescue chance the reference
-        # gives pdfplumber when detection fails outright.
+        # extract nothing usable — zero records, or records that are
+        # all amount-less description fragments (a "transaction table"
+        # with no amounts is not one).  The worst silent failure at
+        # corpus scale: give the fallback cascade the same rescue
+        # chance the reference gives pdfplumber when detection fails
+        # outright; keep the main-path records if every tier declines.
         rescue = _fallback()
         if rescue["records"]:
             return rescue
@@ -443,4 +682,13 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
             "opening_balance": opening_balance,
             "closing_balance": closing_balance,
             "closing_balance_distinct": n_marker_cells >= 2,
-            "fallback_used": False}
+            "fallback_used": False,
+            "diagnostics": _diag(
+                "column_histogram", records,
+                column_count=len(columns),
+                bbox=[{"column_index": c["column_index"],
+                       "x_start": c["x_start"], "x_end": c["x_end"]}
+                      for c in columns],
+                header=({"line_index": header_idx, "texts": header_texts}
+                        if header_idx is not None else None),
+                column_mapping={str(i): r for i, r in roles.items()})}

@@ -90,14 +90,19 @@ def _extract_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out_rows, columns=_COLUMNS)
 
 
+def _segment_lines(seg: pd.DataFrame) -> list[dict]:
+    lines: list[dict] = []
+    for turn_idx, payload in zip(seg["turn_idx"], seg["payload"]):
+        _, turn_lines = tokenize_turn(payload)
+        for ln in turn_lines:
+            ln["turn_idx"] = int(turn_idx)
+            lines.append(ln)
+    return lines
+
+
 def _analyse_into(pdf: pd.DataFrame, conv_id: str, out_rows: list[dict]) -> None:
     for seg_idx, seg in pdf.groupby("segment_index", sort=True):
-        lines: list[dict] = []
-        for turn_idx, payload in zip(seg["turn_idx"], seg["payload"]):
-            _, turn_lines = tokenize_turn(payload)
-            for ln in turn_lines:
-                ln["turn_idx"] = int(turn_idx)
-                lines.append(ln)
+        lines = _segment_lines(seg)
         result = analyse_segment(lines)
         for rec in result["records"]:
             out_rows.append({
@@ -126,7 +131,7 @@ def _analyse_into(pdf: pd.DataFrame, conv_id: str, out_rows: list[dict]) -> None
             })
 
 
-def _extract_stream(batches):
+def _stream_conversations(batches, analyse_into, columns):
     """Secondary-sort mapInPandas body: many conversations per Arrow
     batch, with the partition's trailing (possibly incomplete)
     conversation buffered across batch boundaries."""
@@ -146,13 +151,17 @@ def _extract_stream(batches):
         if len(complete):
             out_rows: list[dict] = []
             for conv_id, grp in complete.groupby("conv_id", sort=False):
-                _analyse_into(grp, conv_id, out_rows)
-            yield pd.DataFrame(out_rows, columns=_COLUMNS)
+                analyse_into(grp, conv_id, out_rows)
+            yield pd.DataFrame(out_rows, columns=columns)
     if leftover is not None and len(leftover):
         out_rows = []
         for conv_id, grp in leftover.groupby("conv_id", sort=False):
-            _analyse_into(grp, conv_id, out_rows)
-        yield pd.DataFrame(out_rows, columns=_COLUMNS)
+            analyse_into(grp, conv_id, out_rows)
+        yield pd.DataFrame(out_rows, columns=columns)
+
+
+def _extract_stream(batches):
+    return _stream_conversations(batches, _analyse_into, _COLUMNS)
 
 
 def extract_stage(turns_seg: DataFrame, split_segments: bool = False,
@@ -186,6 +195,65 @@ def extract_stage(turns_seg: DataFrame, split_segments: bool = False,
         slim = slim.repartition("conv_id") \
                    .sortWithinPartitions("conv_id", "turn_idx")
     return slim.mapInPandas(_extract_stream, schema=RECORDS_STAGE_SCHEMA)
+
+
+# detected_tables analogue (tables.py:252-292): per-segment detection
+# diagnostics — which engine produced the table, its column geometry,
+# assigned roles and header line — the first table a user debugging a
+# bad extraction needs.  JSON columns mirror the reference's
+# bbox_json / header_row_json / column_mapping_json JSONB fields.
+DIAG_SCHEMA = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("segment_index", IntegerType(), False),
+    StructField("engine", StringType(), False),
+    StructField("table_type", StringType(), False),
+    StructField("row_count", IntegerType(), False),
+    StructField("column_count", IntegerType(), True),
+    StructField("bbox_json", StringType(), True),
+    StructField("header_json", StringType(), True),
+    StructField("column_mapping_json", StringType(), True),
+])
+
+_DIAG_COLUMNS = [f.name for f in DIAG_SCHEMA.fields]
+
+
+def _diagnose_into(pdf: pd.DataFrame, conv_id: str, out_rows: list[dict]) -> None:
+    import json
+
+    for seg_idx, seg in pdf.groupby("segment_index", sort=True):
+        d = analyse_segment(_segment_lines(seg))["diagnostics"]
+        out_rows.append({
+            "conv_id": conv_id,
+            "segment_index": int(seg_idx),
+            "engine": d["engine"],
+            "table_type": d["table_type"],
+            "row_count": int(d["row_count"]),
+            "column_count": (int(d["column_count"])
+                             if d.get("column_count") is not None else None),
+            "bbox_json": (json.dumps(d["bbox"], sort_keys=True)
+                          if d.get("bbox") is not None else None),
+            "header_json": (json.dumps(d["header"], sort_keys=True)
+                            if d.get("header") is not None else None),
+            "column_mapping_json": (json.dumps(d["column_mapping"], sort_keys=True)
+                                    if d.get("column_mapping") is not None else None),
+        })
+
+
+def detected_tables_stage(turns_seg: DataFrame,
+                          assume_layout: bool = True) -> DataFrame:
+    """turns(+segment_index) -> one diagnostics row per segment.
+
+    Same partition-layout contract as extract_stage (hash-partitioned
+    by conv_id, sorted by (conv_id, turn_idx)); a separate lazy plan so
+    the diagnostics pass only runs when this output is consumed.
+    """
+    slim = turns_seg.select("conv_id", "turn_idx", "segment_index", "payload")
+    if not assume_layout:
+        slim = slim.repartition("conv_id") \
+                   .sortWithinPartitions("conv_id", "turn_idx")
+    return slim.mapInPandas(
+        lambda batches: _stream_conversations(batches, _diagnose_into, _DIAG_COLUMNS),
+        schema=DIAG_SCHEMA)
 
 
 def segments_table(turns_seg: DataFrame, records: DataFrame) -> DataFrame:

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 from .classify import classify_stage
-from .extract import extract_stage, segments_table
+from .extract import detected_tables_stage, extract_stage, segments_table
 from .score import conversations_table
 from .segment import segment_stage
 from .tokenize import tokenize_stage
@@ -94,6 +94,9 @@ def run_pipeline(transcripts: DataFrame, persist: bool = False,
         "records": records,
         "segments": segments,
         "conversations": conversations,
+        # lazy diagnostics pass (detected_tables analogue): only costs
+        # a job when this output is actually consumed
+        "detected_tables": detected_tables_stage(turns_seg),
     }
     if persist:
         out["_turns_seg"] = turns_seg
