@@ -1089,6 +1089,343 @@ def transcripts_segment_ranges(spark, sf_dir):
     return out.select("conv_id", "segment_index", "start_turn", "end_turn")
 
 
+def _records_delim_sql() -> str:
+    """Generated oracle for the delimiter fallback tier's records (W9
+    field extraction on the delimited-table slice): segments routed to
+    the delim tier are re-parsed in SQL from the snapshot — delimiter
+    cell split, keyword header mapping, positional row fields, date
+    ladder with the yy>50 pivot, exact integer-cent amounts, b/f and
+    summary-row skips, last-date carry, per-segment row numbering.
+
+    Corpus-safe simplifications (each would matter only for header
+    shapes absent from the snapshot corpus, mirroring the RE2 note on
+    the classification oracle): header keyword categories are treated
+    as non-overlapping (the kernel's if/elif chain only diverges when
+    one header cell matches two categories), one column per role (the
+    kernel collects every match), credit checked before debit when
+    both parse on one row (the kernel's last-write order depends on
+    column order), and amounts are plain/comma-grouped with optional
+    leading minus (the delim corpus renders no parens/CR/DR forms).
+    """
+    from .kernels.patterns import BALANCE_MARKER_RLIKE, SUMMARY_ROW_RLIKE
+    summary = _sql_regex(f"(?:{BALANCE_MARKER_RLIKE})|(?:{SUMMARY_ROW_RLIKE})")
+
+    def kw(col: str, words: list[str]) -> str:
+        tests = " OR ".join(f"lower(c) LIKE '%{w}%'" for w in words)
+        return (f"list_position(list_transform(cells, c -> ({tests})), true)"
+                f" AS {col}")
+
+    def cents(expr: str) -> str:
+        return rf"""CASE WHEN {expr} IS NOT NULL
+                 AND regexp_matches({expr}, '^-?\d[\d,]*\.\d{{2}}$')
+            THEN (CASE WHEN {expr} LIKE '-%' THEN -1 ELSE 1 END)
+                 * (CAST(replace(regexp_extract({expr}, '^-?([\d,]+)\.', 1),
+                                 ',', '') AS BIGINT) * 100
+                    + CAST(regexp_extract({expr}, '\.(\d{{2}})$', 1) AS BIGINT))
+            END"""
+
+    date_ladder = """COALESCE(
+            CAST(try_strptime(date_raw, '%d/%m/%Y') AS DATE),
+            CAST(try_strptime(date_raw, '%d %b %Y') AS DATE),
+            CAST(try_strptime(date_raw, '%d/%m/%y') AS DATE),
+            CAST(try_strptime(date_raw, '%Y-%m-%d') AS DATE),
+            CAST(try_strptime(date_raw, '%d %B %Y') AS DATE),
+            CAST(try_strptime(date_raw, '%d%b%y') AS DATE))"""
+
+    return rf"""
+    seg_lines AS (
+        SELECT s.conv_id, s.segment_index, s.turn_idx,
+               unnest(v.norm_lines) AS line,
+               s.turn_idx * 100000
+                   + unnest(range(1, len(v.norm_lines) + 1)) AS line_ord
+        FROM turn_segmented s
+        JOIN turn_scored v USING (conv_id, turn_idx)),
+    delim_lines AS (
+        SELECT conv_id, segment_index, turn_idx, line_ord,
+               list_transform(string_split_regex(line, '[|;]'),
+                              c -> trim(regexp_replace(c, '\s+', ' ', 'g'))) AS cells
+        FROM seg_lines
+        WHERE regexp_matches(line, '[|;]')),
+    -- delimiter-dominant routing rule (analyse_segment): the delim
+    -- parser takes the segment iff a strict majority of its lines
+    -- carry a delimiter
+    seg_ok AS (
+        SELECT conv_id, segment_index
+        FROM seg_lines
+        GROUP BY 1, 2
+        HAVING 2 * SUM(CASE WHEN regexp_matches(line, '[|;]')
+                            THEN 1 ELSE 0 END) > COUNT(*)),
+    mapped AS (
+        SELECT d.*,
+               {kw("date_pos", ["date", "posted dte"])},
+               {kw("desc_pos", ["description", "details", "particulars",
+                                "narrative", "transaction"])},
+               {kw("paid_in_pos", ["paid in", "credit", "money in",
+                                   "deposit", "receipts"])},
+               {kw("withdrawn_pos", ["withdrawn", "debit", "money out",
+                                     "paid out", "withdrawal", "payments"])},
+               {kw("balance_pos", ["balance"])},
+               {kw("amount_pos", ["amount"])}
+        FROM delim_lines d JOIN seg_ok USING (conv_id, segment_index)),
+    header AS (
+        SELECT conv_id, segment_index, MIN(line_ord) AS header_ord,
+               arg_min(date_pos, line_ord) AS date_pos,
+               arg_min(desc_pos, line_ord) AS desc_pos,
+               arg_min(paid_in_pos, line_ord) AS paid_in_pos,
+               arg_min(withdrawn_pos, line_ord) AS withdrawn_pos,
+               arg_min(balance_pos, line_ord) AS balance_pos,
+               arg_min(amount_pos, line_ord) AS amount_pos
+        FROM mapped
+        WHERE date_pos IS NOT NULL
+          AND (paid_in_pos IS NOT NULL OR withdrawn_pos IS NOT NULL
+               OR amount_pos IS NOT NULL)
+        GROUP BY 1, 2),
+    data_rows AS (
+        SELECT m.conv_id, m.segment_index, m.turn_idx, m.line_ord, m.cells,
+               h.date_pos, h.desc_pos, h.paid_in_pos, h.withdrawn_pos,
+               h.balance_pos, h.amount_pos,
+               lower(array_to_string(m.cells, ' ')) AS row_lower
+        FROM mapped m JOIN header h USING (conv_id, segment_index)
+        WHERE m.line_ord > h.header_ord),
+    kept_rows AS (
+        SELECT * FROM data_rows
+        WHERE NOT (row_lower LIKE '%brought forward%'
+                   OR row_lower LIKE '%carried forward%'
+                   OR row_lower LIKE '%b/f%' OR row_lower LIKE '%c/f%')),
+    fields AS (
+        SELECT conv_id, segment_index, turn_idx, line_ord, row_lower,
+               cells[date_pos] AS date_raw,
+               coalesce(CASE WHEN desc_pos IS NOT NULL THEN cells[desc_pos] END,
+                        '') AS descr,
+               {cents("cells[paid_in_pos]")} AS credit_cents,
+               {cents("cells[withdrawn_pos]")} AS debit_cents,
+               {cents("cells[amount_pos]")} AS single_cents,
+               {cents("cells[balance_pos]")} AS balance_cents
+        FROM kept_rows),
+    dated AS (
+        SELECT *,
+               last_value(pd_fixed IGNORE NULLS) OVER (
+                   PARTITION BY conv_id, segment_index ORDER BY line_ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS posted_date
+        FROM (
+            SELECT *,
+                   CASE WHEN year(pd0) < 100
+                        THEN make_date(CASE WHEN year(pd0) % 100 > 50
+                                            THEN 1900 + year(pd0) % 100
+                                            ELSE 2000 + year(pd0) % 100 END,
+                                       month(pd0), day(pd0))
+                        ELSE pd0 END AS pd_fixed
+            FROM (SELECT *, {date_ladder} AS pd0 FROM fields))),
+    recs AS (
+        SELECT conv_id, segment_index, turn_idx, line_ord, posted_date,
+               substr(descr, 1, 500) AS description_raw,
+               abs(coalesce(credit_cents, debit_cents, single_cents))
+                   AS amount_cents,
+               balance_cents,
+               CASE WHEN credit_cents IS NOT NULL THEN 'CREDIT'
+                    WHEN debit_cents IS NOT NULL THEN 'DEBIT'
+                    WHEN single_cents < 0 THEN 'DEBIT'
+                    WHEN single_cents > 0 THEN 'CREDIT'
+                    ELSE 'UNKNOWN' END AS direction
+        FROM dated
+        WHERE coalesce(credit_cents, debit_cents, single_cents) IS NOT NULL
+          AND NOT regexp_matches(lower(trim(descr)), '{summary}')
+          AND NOT regexp_matches(row_lower, '{summary}'))
+    SELECT conv_id, segment_index,
+           CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, segment_index
+                                   ORDER BY line_ord) - 1 AS INT) AS row_index,
+           CAST(turn_idx AS INT) AS turn_idx,
+           posted_date, description_raw, amount_cents, balance_cents, direction
+    FROM recs
+    """
+
+
+def _records_pattern_sql() -> str:
+    """Generated oracle for the pattern fallback tier's records: the
+    single-space-dominant routing rule, the camelot date+keyword
+    header gate, trailing-money-token detection (rightmost = balance
+    when two), the grow-while-the-parse-changes leading-date rule, no
+    date carry, b/f and summary skips, per-segment row numbering — all
+    re-derived in SQL from the snapshot's RAW lines (the routing rule
+    needs pre-normalization whitespace runs).
+    """
+    from .kernels.patterns import BALANCE_MARKER_RLIKE, SUMMARY_ROW_RLIKE
+    summary = _sql_regex(f"(?:{BALANCE_MARKER_RLIKE})|(?:{SUMMARY_ROW_RLIKE})")
+    # _PATTERN_MONEY_RE: optional paren/minus/currency, grouped or
+    # plain digits, mandatory pence, optional trailing paren/minus
+    money = (r"^\(?-?[" + chr(163) + chr(36) + chr(8364)
+             + r"]?(?:\d{1,3}(?:,\d{3})+|\d+)\.\d{2}\)?-?$")
+    header_kw = ["description", "paid in", "withdrawn", "balance",
+                 "money in", "money out", "debit", "credit", "amount"]
+    kw_test = " OR ".join(f"hdr LIKE '%{w}%'" for w in header_kw)
+
+    def tok_cents(expr: str) -> str:
+        """parse_amount of a money-regex-matched token, exact cents:
+        sign from leading paren / leading or trailing minus."""
+        return rf"""(CASE WHEN {expr} LIKE '(%' OR {expr} LIKE '-%'
+                          OR {expr} LIKE '%-' THEN -1 ELSE 1 END)
+             * (CAST(replace(regexp_extract({expr}, '(\d[\d,]*)\.', 1),
+                             ',', '') AS BIGINT) * 100
+                + CAST(regexp_extract({expr}, '\.(\d{{2}})', 1) AS BIGINT))"""
+
+    def try_date(expr: str) -> str:
+        return f"""COALESCE(
+            CAST(try_strptime({expr}, '%d/%m/%Y') AS DATE),
+            CAST(try_strptime({expr}, '%d %b %Y') AS DATE),
+            CAST(try_strptime({expr}, '%d/%m/%y') AS DATE),
+            CAST(try_strptime({expr}, '%Y-%m-%d') AS DATE),
+            CAST(try_strptime({expr}, '%d %B %Y') AS DATE),
+            CAST(try_strptime({expr}, '%d%b%y') AS DATE))"""
+
+    def pivot(expr: str) -> str:
+        return f"""CASE WHEN year({expr}) < 100
+            THEN make_date(CASE WHEN year({expr}) % 100 > 50
+                                THEN 1900 + year({expr}) % 100
+                                ELSE 2000 + year({expr}) % 100 END,
+                           month({expr}), day({expr}))
+            ELSE {expr} END"""
+
+    return rf"""
+    raw_lines AS (
+        SELECT s.conv_id, s.segment_index, s.turn_idx,
+               unnest(kept) AS raw_line,
+               s.turn_idx * 100000 + unnest(range(1, len(kept) + 1)) AS line_ord
+        FROM (SELECT t.conv_id, t.turn_idx,
+                     list_filter(string_split(t.payload, chr(10)),
+                         l -> trim(regexp_replace(l, '\s+', ' ', 'g')) <> '')
+                         AS kept
+              FROM turns_in t) t
+        JOIN turn_segmented s USING (conv_id, turn_idx)),
+    flagged AS (
+        SELECT conv_id, segment_index, turn_idx, line_ord,
+               trim(regexp_replace(raw_line, '\s+', ' ', 'g')) AS line,
+               (NOT regexp_matches(raw_line, '[|;]')
+                AND NOT regexp_matches(raw_line, '\S\s\s+\S')) AS is_single
+        FROM raw_lines),
+    -- single-space-dominant routing rule (analyse_segment)
+    seg_ok AS (
+        SELECT conv_id, segment_index FROM flagged
+        GROUP BY 1, 2
+        HAVING 2 * SUM(CASE WHEN is_single THEN 1 ELSE 0 END) > COUNT(*)),
+    -- camelot header gate: first line with 'date' + a table keyword
+    header AS (
+        SELECT conv_id, segment_index, MIN(line_ord) AS header_ord
+        FROM (SELECT conv_id, segment_index, line_ord,
+                     lower(line) AS hdr FROM flagged)
+        WHERE hdr LIKE '%date%' AND ({kw_test})
+        GROUP BY 1, 2),
+    rows_in AS (
+        SELECT f.conv_id, f.segment_index, f.turn_idx, f.line_ord, f.line,
+               string_split(f.line, ' ') AS toks
+        FROM flagged f
+        JOIN seg_ok USING (conv_id, segment_index)
+        JOIN header h USING (conv_id, segment_index)
+        WHERE f.line_ord > h.header_ord
+          AND NOT (lower(f.line) LIKE '%brought forward%'
+                   OR lower(f.line) LIKE '%carried forward%'
+                   OR lower(f.line) LIKE '%b/f%' OR lower(f.line) LIKE '%c/f%')),
+    tails AS (
+        SELECT *, len(toks) AS n,
+               CASE WHEN NOT regexp_matches(toks[len(toks)], '{money}') THEN 0
+                    WHEN len(toks) >= 2
+                         AND regexp_matches(toks[len(toks) - 1], '{money}')
+                         THEN 2
+                    ELSE 1 END AS tail_len
+        FROM rows_in
+        WHERE len(toks) >= 1),
+    dated AS (
+        SELECT *, n - tail_len AS avail,
+               CASE WHEN n - tail_len >= 1
+                    THEN {pivot(try_date("toks[1]"))} END AS p1,
+               CASE WHEN n - tail_len >= 2
+                    THEN {pivot(try_date("array_to_string(list_slice(toks, 1, 2), ' ')"))}
+                    END AS p2,
+               CASE WHEN n - tail_len >= 3
+                    THEN {pivot(try_date("array_to_string(list_slice(toks, 1, 3), ' ')"))}
+                    END AS p3
+        FROM tails
+        WHERE tail_len > 0),
+    grown AS (
+        -- grow-while-the-parse-changes (segment_extract.py pattern
+        -- tier): extend the date candidate only when the longer parse
+        -- differs; stop at the first unchanged or failed extension
+        -- after a success
+        SELECT *,
+               CASE WHEN p1 IS NOT NULL AND (p2 IS NULL OR p2 = p1) THEN 1
+                    WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p2 <> p1
+                         AND (p3 IS NULL OR p3 = p2) THEN 2
+                    WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p2 <> p1
+                         AND p3 IS NOT NULL AND p3 <> p2 THEN 3
+                    WHEN p1 IS NULL AND p2 IS NOT NULL
+                         AND (p3 IS NULL OR p3 = p2) THEN 2
+                    WHEN p1 IS NULL AND p2 IS NOT NULL
+                         AND p3 IS NOT NULL AND p3 <> p2 THEN 3
+                    WHEN p1 IS NULL AND p2 IS NULL AND p3 IS NOT NULL THEN 3
+                    ELSE 0 END AS date_end
+        FROM dated),
+    -- description materialized as a plain column BEFORE the summary
+    -- regex filter: DuckDB re-compiles a regexp per row when its input
+    -- is a computed list expression, which OOMs on this alternation
+    projected AS MATERIALIZED (
+        SELECT conv_id, segment_index, turn_idx, line_ord, line,
+               toks, n, tail_len,
+               CASE date_end WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 END
+                   AS posted_date,
+               array_to_string(list_slice(toks, date_end + 1, n - tail_len),
+                               ' ') AS descr
+        FROM grown),
+    recs AS (
+        SELECT conv_id, segment_index, turn_idx, line_ord, posted_date,
+               substr(descr, 1, 500) AS description_raw,
+               abs({tok_cents("toks[n - tail_len + 1]")}) AS amount_cents,
+               CASE WHEN tail_len = 2 THEN {tok_cents("toks[n]")} END
+                   AS balance_cents,
+               CASE WHEN {tok_cents("toks[n - tail_len + 1]")} < 0 THEN 'DEBIT'
+                    WHEN {tok_cents("toks[n - tail_len + 1]")} > 0 THEN 'CREDIT'
+                    ELSE 'UNKNOWN' END AS direction
+        FROM projected
+        WHERE NOT regexp_matches(lower(trim(descr)), '{summary}')
+          AND NOT regexp_matches(lower(line), '{summary}'))
+    SELECT conv_id, segment_index,
+           CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, segment_index
+                                   ORDER BY line_ord) - 1 AS INT) AS row_index,
+           CAST(turn_idx AS INT) AS turn_idx,
+           posted_date, description_raw, amount_cents, balance_cents, direction
+    FROM recs
+    """
+
+
+@register("transcripts_records_pattern", None)  # SQL attached below
+def transcripts_records_pattern(spark, sf_dir):
+    """W9 field extraction, oracle-checked on the pattern-tier slice
+    (see transcripts_records_delim — same routing-pinning argument)."""
+    rec = _pipeline_outputs(spark, sf_dir)["records"]
+    return (rec.where(F.col("direction_source") == "row_pattern")
+            .select("conv_id", "segment_index", "row_index", "turn_idx",
+                    "posted_date", "description_raw",
+                    (F.col("amount") * 100).cast("long").alias("amount_cents"),
+                    (F.col("running_balance") * 100).cast("long").alias("balance_cents"),
+                    "direction"))
+
+
+@register("transcripts_records_delim", None)  # SQL attached below
+def transcripts_records_delim(spark, sf_dir):
+    """W9 field extraction, oracle-checked on the delimiter-tier slice:
+    every record the pipeline extracts through the delim fallback is
+    re-derived in SQL from the snapshot (cells, header mapping, date
+    ladder, exact cents, skips, row numbering).  The slice filter
+    (direction_source) also pins tier ROUTING: a segment the engine
+    mis-routes produces rows on exactly one side and fails the hash."""
+    rec = _pipeline_outputs(spark, sf_dir)["records"]
+    return (rec.where(F.col("direction_source") == "delim_table")
+            .select("conv_id", "segment_index", "row_index", "turn_idx",
+                    "posted_date", "description_raw",
+                    (F.col("amount") * 100).cast("long").alias("amount_cents"),
+                    (F.col("running_balance") * 100).cast("long").alias("balance_cents"),
+                    "direction"))
+
+
 def _classification_sql() -> str:
     """Generated oracle for conversation classification (C1/C2 +
     currency): the doc-family weighted keyword folds, provider argmax
@@ -1248,6 +1585,16 @@ def _attach_turns_sql() -> None:
 """)
     fn, _ = _REGISTRY["transcripts_classification"]
     _REGISTRY["transcripts_classification"] = (fn, _classification_sql())
+    fn, _ = _REGISTRY["transcripts_records_delim"]
+    _REGISTRY["transcripts_records_delim"] = (fn, f"""
+    WITH {view},
+    {_records_delim_sql()}
+""")
+    fn, _ = _REGISTRY["transcripts_records_pattern"]
+    _REGISTRY["transcripts_records_pattern"] = (fn, f"""
+    WITH {view},
+    {_records_pattern_sql()}
+""")
 
 
 _attach_turns_sql()

@@ -308,6 +308,15 @@ def _fallback_grid_records(lines: list[dict], today: date) -> tuple[list[dict], 
 _DELIM_RE = _re.compile(r"[|;]")
 
 
+def _has_internal_gap(line: dict) -> bool:
+    """True iff any consecutive token pair is separated by >= 2 chars
+    (i.e. the raw line has an internal multi-space run the grid
+    splitter could use)."""
+    toks = line["tokens"]
+    return any(toks[k + 1]["start"] - toks[k]["end"] >= 2
+               for k in range(len(toks) - 1))
+
+
 def _delim_cells(line: dict) -> Optional[list[dict]]:
     """Split a tokenized line into cells on explicit delimiters
     (pipes/semicolons), the character-stream analogue of tabula's
@@ -537,6 +546,45 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
         return empty
 
     all_lines = lines  # pre-header-strip view for the fallback parsers
+
+    # Delimiter-dominant segments go straight to the delimiter parser:
+    # explicit delimiters are stronger structural evidence than the
+    # x-histogram, which sees delimiter glyphs as geometry and — when
+    # the date column happens to be fixed-width — can "succeed" into
+    # mangled cells (mis-split amounts, pipe tokens as descriptions).
+    # The majority rule is a pure data property, so tier routing stays
+    # reproducible from the corpus alone (the delim-records oracle
+    # re-derives it in SQL).  A failed delim parse falls through to
+    # the normal histogram path.
+    def _tier_result(tier_name: str, records: list, info: dict) -> dict:
+        return {"records": records, "opening_balance": None,
+                "closing_balance": None,
+                "closing_balance_distinct": False,
+                "fallback_used": True,
+                "diagnostics": _diag(
+                    tier_name, records,
+                    column_count=info.get("column_count"),
+                    header={"line_index": info.get("header_line")},
+                    column_mapping=info.get("column_mapping"))}
+
+    n_delim = sum(1 for ln in lines if _DELIM_RE.search(ln["text"]))
+    if n_delim * 2 > len(lines):
+        records, info = _fallback_delim_records(all_lines, today)
+        if records:
+            return _tier_result("delim_grid", records, info)
+
+    # Single-space-dominant segments (no internal >=2-space runs, no
+    # delimiters — nothing for any splitter to work with) go straight
+    # to the pattern parser behind its date+keyword header gate; same
+    # reproducible-routing rationale as the delimiter rule above.  The
+    # header gate keeps chatter-dominant segments falling through.
+    n_single = sum(
+        1 for ln in lines
+        if not _DELIM_RE.search(ln["text"]) and not _has_internal_gap(ln))
+    if n_single * 2 > len(lines):
+        records, info = _fallback_pattern_records(all_lines, today)
+        if records:
+            return _tier_result("row_pattern", records, info)
 
     def _fallback():
         """Fallback cascade (orchestrator.py:569-578 pdfplumber ->
