@@ -194,12 +194,15 @@ def test_text_grid_fallback_rescues_segment(spark):
     fallback_used / direction_source='text_grid_table'
     (orchestrator.py:793-930 analogue), identically in Spark output
     and the kernel oracle."""
+    # ragged per-row indentation: no x-position repeats often enough
+    # to form a histogram peak, but >=2-space gaps still delimit the
+    # grid cells — the layout class the text-grid tier exists for
     lines = [
         "Barclays Bank PLC",
         f"{'Date':<13} {'Description':<30}{'Paid In':>12}{'Paid Out':>12}",
-        f"{'01/02/2024':<13} {'SALARY ACME LTD':<30}{'1500.00':>12}{'':>12}",
-        f"{'02/02/2024':<13} {'TESCO STORES':<30}{'':>12}{'42.17':>12}",
-        f"{'':<13} {'COSTA COFFEE':<30}{'':>12}{'3.40':>12}",
+        f" {'01/02/2024':<13} {'SALARY ACME LTD':<29}{'1500.00':>12}{'':>12}",
+        f"   {'02/02/2024':<13} {'TESCO STORES':<27}{'':>12}{'42.17':>12}",
+        f"     {'':<13} {'COSTA COFFEE':<25}{'':>12}{'3.40':>12}",
     ]
     import numpy as np
     pdf = pd.DataFrame([{

@@ -1396,6 +1396,190 @@ def _records_pattern_sql() -> str:
     """
 
 
+def _records_amounts_sql() -> str:
+    """Generated oracle for the MAIN extraction path's amount rows
+    (the solver-independent projection of W9 on the histogram/grid
+    routes): for segments routed to neither structured tier (the
+    complement of the two majority rules), every amount-bearing record
+    the engine reconstructs corresponds to a transaction line whose
+    trailing money tokens carry the amount (and balance, when the
+    layout has one) and whose leading tokens carry the date — the
+    line-level view of the same fields the column geometry extracts.
+    The oracle re-derives (turn, seq, date, amount) per segment from
+    the snapshot, pinning row recovery, ordering, date parsing and
+    exact amounts without reproducing the histogram itself;
+    description/roles/direction on this slice stay pytest-gated.
+    Money shapes cover the corpus conventions (plain, comma-grouped,
+    parens, leading/trailing minus, CR/DR suffix tokens).
+    """
+    from .kernels.patterns import BALANCE_MARKER_RLIKE, HEADER_KEYWORDS, SUMMARY_ROW_RLIKE
+    summary = _sql_regex(f"(?:{BALANCE_MARKER_RLIKE})|(?:{SUMMARY_ROW_RLIKE})")
+    money = (r"^\(?-?[" + chr(163) + chr(36) + chr(8364)
+             + r"]?(?:\d{1,3}(?:,\d{3})+|\d+)\.\d{2}\)?-?$")
+    kw_sum = " + ".join(f"(CASE WHEN low LIKE '%{kw}%' THEN 1 ELSE 0 END)"
+                        for kw in sorted(HEADER_KEYWORDS))
+
+    def tok_cents_abs(expr: str) -> str:
+        return rf"""(CAST(replace(regexp_extract({expr}, '(\d[\d,]*)\.', 1),
+                             ',', '') AS BIGINT) * 100
+                + CAST(regexp_extract({expr}, '\.(\d{{2}})', 1) AS BIGINT))"""
+
+    def try_date(expr: str) -> str:
+        return f"""COALESCE(
+            CAST(try_strptime({expr}, '%d/%m/%Y') AS DATE),
+            CAST(try_strptime({expr}, '%d %b %Y') AS DATE),
+            CAST(try_strptime({expr}, '%d/%m/%y') AS DATE),
+            CAST(try_strptime({expr}, '%Y-%m-%d') AS DATE),
+            CAST(try_strptime({expr}, '%d %B %Y') AS DATE),
+            CAST(try_strptime({expr}, '%d%b%y') AS DATE))"""
+
+    def pivot(expr: str) -> str:
+        return f"""CASE WHEN year({expr}) < 100
+            THEN make_date(CASE WHEN year({expr}) % 100 > 50
+                                THEN 1900 + year({expr}) % 100
+                                ELSE 2000 + year({expr}) % 100 END,
+                           month({expr}), day({expr}))
+            ELSE {expr} END"""
+
+    return rf"""
+    raw_lines AS (
+        SELECT s.conv_id, s.segment_index, s.turn_idx,
+               unnest(kept) AS raw_line,
+               s.turn_idx * 100000 + unnest(range(1, len(kept) + 1)) AS line_ord
+        FROM (SELECT t.conv_id, t.turn_idx,
+                     list_filter(string_split(t.payload, chr(10)),
+                         l -> trim(regexp_replace(l, '\s+', ' ', 'g')) <> '')
+                         AS kept
+              FROM turns_in t) t
+        JOIN turn_segmented s USING (conv_id, turn_idx)),
+    flagged AS (
+        SELECT conv_id, segment_index, turn_idx, line_ord,
+               trim(regexp_replace(raw_line, '\s+', ' ', 'g')) AS line,
+               regexp_matches(raw_line, '[|;]') AS is_delim,
+               (NOT regexp_matches(raw_line, '[|;]')
+                AND NOT regexp_matches(raw_line, '\S\s\s+\S')) AS is_single
+        FROM raw_lines),
+    -- main-route slice: neither structured-tier majority rule fires
+    seg_ok AS (
+        SELECT conv_id, segment_index FROM flagged
+        GROUP BY 1, 2
+        HAVING 2 * SUM(CASE WHEN is_delim THEN 1 ELSE 0 END) <= COUNT(*)
+           AND 2 * SUM(CASE WHEN is_single THEN 1 ELSE 0 END) <= COUNT(*)),
+    -- headered restriction + header consumption: detect_header_line
+    -- takes the FIRST line with >=2 header keywords among the
+    -- segment's first 10; the engine strips that line and everything
+    -- before it, so rows start strictly after header_ord (this also
+    -- models a data row being eaten as a false header, e.g.
+    -- "DIRECT DEBIT ... DR" opening a headerless segment)
+    headered AS (
+        SELECT conv_id, segment_index, MIN(line_ord) AS header_ord
+        FROM (SELECT conv_id, segment_index, line_ord, lower(line) AS low,
+                     ROW_NUMBER() OVER (PARTITION BY conv_id, segment_index
+                                        ORDER BY line_ord) AS ord
+              FROM flagged)
+        WHERE ord <= 10 AND ({kw_sum}) >= 2
+        GROUP BY 1, 2),
+    rows_in AS (
+        SELECT f.conv_id, f.segment_index, f.turn_idx, f.line_ord, f.line,
+               string_split(f.line, ' ') AS toks
+        FROM flagged f
+        JOIN seg_ok USING (conv_id, segment_index)
+        JOIN headered h USING (conv_id, segment_index)
+        WHERE f.line_ord > h.header_ord
+          AND NOT regexp_matches(lower(f.line), '{summary}')),
+    tails AS (
+        SELECT *,
+               CASE WHEN n >= 2 AND toks[n] IN ('CR', 'DR')
+                         AND regexp_matches(toks[n - 1], '{money}')
+                    THEN n - 1
+                    WHEN regexp_matches(toks[n], '{money}')
+                    THEN CASE WHEN n >= 2
+                                   AND regexp_matches(toks[n - 1], '{money}')
+                              THEN n - 1 ELSE n END
+                    END AS amt_idx
+        FROM (SELECT *, len(toks) AS n FROM rows_in) _
+        WHERE len(toks) >= 1),
+    dated AS (
+        SELECT *,
+               CASE WHEN amt_idx > 1
+                    THEN {pivot(try_date("toks[1]"))} END AS p1,
+               CASE WHEN amt_idx > 2
+                    THEN {pivot(try_date("array_to_string(list_slice(toks, 1, 2), ' ')"))}
+                    END AS p2,
+               CASE WHEN amt_idx > 3
+                    THEN {pivot(try_date("array_to_string(list_slice(toks, 1, 3), ' ')"))}
+                    END AS p3
+        FROM tails WHERE amt_idx IS NOT NULL),
+    recs AS (
+        SELECT conv_id, segment_index, turn_idx, line_ord,
+               CASE WHEN p1 IS NOT NULL AND (p2 IS NULL OR p2 = p1) THEN p1
+                    WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p2 <> p1
+                         AND (p3 IS NULL OR p3 = p2) THEN p2
+                    WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p2 <> p1
+                         THEN coalesce(p3, p2)
+                    WHEN p1 IS NULL AND p2 IS NOT NULL
+                         AND (p3 IS NULL OR p3 = p2) THEN p2
+                    WHEN p1 IS NULL AND p2 IS NOT NULL THEN coalesce(p3, p2)
+                    ELSE p3 END AS posted_date,
+               {tok_cents_abs("toks[amt_idx]")} AS amount_cents
+        FROM dated)
+    SELECT conv_id, segment_index,
+           CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, segment_index
+                                   ORDER BY line_ord) - 1 AS INT) AS seq,
+           CAST(turn_idx AS INT) AS turn_idx,
+           posted_date, amount_cents
+    FROM recs
+    """
+
+
+def _headered_segments(turns: DataFrame) -> DataFrame:
+    """(conv_id, segment_index) whose first 10 lines contain a header
+    line (>=2 HEADER_KEYWORDS) — the detect_header_line data rule
+    (kernels/rows.py), re-expressed natively so the amounts oracle's
+    slice restriction is the same pure data property on both engines.
+    Headerless segments (the corpus wipes ~5%% of opening turns) are
+    where merged right-justified columns cannot be split by header
+    evidence, the one remaining class the line-level oracle cannot
+    predict."""
+    from .kernels.patterns import HEADER_KEYWORDS
+
+    lines = turns.select(
+        "conv_id", "segment_index", "turn_idx",
+        F.posexplode(F.filter(
+            F.transform(F.split(F.coalesce("raw_text", F.lit("")), "\n"),
+                        lambda l: F.trim(F.regexp_replace(l, r"\s+", " "))),
+            lambda l: l != "")).alias("pos", "line"))
+    w = Window.partitionBy("conv_id", "segment_index").orderBy("turn_idx", "pos")
+    low = F.lower("line")
+    kw_count = None
+    for kw in sorted(HEADER_KEYWORDS):
+        term = low.contains(kw).cast("int")
+        kw_count = term if kw_count is None else kw_count + term
+    return (lines.withColumn("_ord", F.row_number().over(w))
+            .where(F.col("_ord") <= 10)
+            .where(kw_count >= 2)
+            .select("conv_id", "segment_index").distinct())
+
+
+@register("transcripts_records_amounts", None)  # SQL attached below
+def transcripts_records_amounts(spark, sf_dir):
+    """Solver-independent projection of the MAIN-path records (W9,
+    orchestrator.py:692-789) on headered segments: amount-bearing rows
+    with their dates, exact cents and per-segment order, oracle-checked
+    against a line-level re-derivation (see _records_amounts_sql)."""
+    out = _pipeline_outputs(spark, sf_dir)
+    rec = out["records"]
+    headered = _headered_segments(out["turns"])
+    w = Window.partitionBy("conv_id", "segment_index").orderBy("row_index")
+    return (rec.where((~F.col("direction_source").isin("delim_table", "row_pattern"))
+                      & F.col("amount").isNotNull())
+            .join(headered, ["conv_id", "segment_index"])
+            .select("conv_id", "segment_index",
+                    (F.row_number().over(w) - 1).cast("int").alias("seq"),
+                    "turn_idx", "posted_date",
+                    (F.col("amount") * 100).cast("long").alias("amount_cents")))
+
+
 @register("transcripts_records_pattern", None)  # SQL attached below
 def transcripts_records_pattern(spark, sf_dir):
     """W9 field extraction, oracle-checked on the pattern-tier slice
@@ -1594,6 +1778,11 @@ def _attach_turns_sql() -> None:
     _REGISTRY["transcripts_records_pattern"] = (fn, f"""
     WITH {view},
     {_records_pattern_sql()}
+""")
+    fn, _ = _REGISTRY["transcripts_records_amounts"]
+    _REGISTRY["transcripts_records_amounts"] = (fn, f"""
+    WITH {view},
+    {_records_amounts_sql()}
 """)
 
 

@@ -93,13 +93,13 @@ _DATE_STYLES = [
 
 
 def _fmt_row_case1(date_s, desc, debit, credit, balance):
-    return f"{date_s:<13} {desc:<34}{debit:>12}{credit:>12}{balance:>14}"
+    return f"{date_s:<18} {desc:<34}{debit:>12}{credit:>12}{balance:>14}"
 
 
 def _fmt_row_single(date_s, desc, amount, balance=""):
     if balance:
-        return f"{date_s:<13} {desc:<40}{amount:>13}{balance:>14}"
-    return f"{date_s:<13} {desc:<40}{amount:>13}"
+        return f"{date_s:<18} {desc:<40}{amount:>13}{balance:>14}"
+    return f"{date_s:<18} {desc:<40}{amount:>13}"
 
 
 def _money(v_pennies: int) -> str:
@@ -160,10 +160,10 @@ def conversation_payload(conv_index: int, seed: int = SEED) -> list[dict]:
         if table_style == "spaces":
             return "Date Description Amount Balance"
         if variant == 0:
-            return f"{'Date':<13} {'Description':<34}{'Paid Out':>12}{'Paid In':>12}{'Balance':>14}"
+            return f"{'Date':<18} {'Description':<34}{'Paid Out':>12}{'Paid In':>12}{'Balance':>14}"
         if variant == 2:
-            return f"{'Date':<13} {'Description':<40}{'Amount':>13}{'Balance':>14}"
-        return f"{'Date':<13} {'Description':<40}{'Amount':>13}"
+            return f"{'Date':<18} {'Description':<40}{'Amount':>13}{'Balance':>14}"
+        return f"{'Date':<18} {'Description':<40}{'Amount':>13}"
 
     def opening_line() -> str:
         s = _money(balance_pennies)
@@ -175,7 +175,7 @@ def conversation_payload(conv_index: int, seed: int = SEED) -> list[dict]:
             return _fmt_row_case1("", "Balance brought forward", "", "", s)
         if variant == 2:
             return _fmt_row_single("", "Balance brought forward", "", s)
-        return f"{'':<13} {'Balance brought forward':<40}{s:>27}"
+        return f"{'':<18} {'Balance brought forward':<40}{s:>27}"
 
     def tx_rows(n: int) -> list[str]:
         nonlocal balance_pennies, row_date

@@ -32,18 +32,38 @@ def detect_columns(lines: list[dict],
     if not lines:
         return []
 
-    x_positions = [tok["x0"] for line in lines for tok in line["tokens"]]
+    # Histogram over word-GROUP starts (line start, or preceded by a
+    # >=2-char gap), not raw token starts.  pdfplumber's extract_words
+    # already merges glyphs/words across small gaps before the
+    # reference histograms them (table_extractor.py:110-143 sees word
+    # starts); in monospace transcript text, single-space-separated
+    # tokens inside one field sit at corpus-stable offsets and would
+    # each mint a spurious sub-column peak ("May" always at char 3).
+    x_positions = []
+    for line in lines:
+        prev_end = None
+        for tok in line["tokens"]:
+            start = tok.get("start")
+            if prev_end is None or start is None or start - prev_end >= 2:
+                x_positions.append(tok["x0"])
+            prev_end = tok.get("end", prev_end)
     if len(x_positions) < 5:
         return []
 
     hist, bin_edges = np.histogram(np.asarray(x_positions), bins=n_bins, range=(0.0, 1.0))
     smoothed = gaussian_smooth_1d(hist.astype(float), sigma=SMOOTH_SIGMA)
 
+    # zero-pad both edges before peak finding: scipy-style find_peaks
+    # can never report the first/last sample as a peak, and in char
+    # space the leftmost column sits at exactly x=0 (reference PDFs
+    # have a page margin, so their leftmost column is never edge-bin)
+    padded = np.concatenate(([0.0], smoothed, [0.0]))
+
     ladder = [min_column_occupancy] + [o for o in OCCUPANCY_LADDER[1:]]
     peaks = np.array([], dtype=np.int64)
     for occupancy in ladder:
         threshold = max(len(lines) * occupancy, 2.0)
-        peaks = find_peaks_simple(smoothed, height=threshold, distance=PEAK_DISTANCE)
+        peaks = find_peaks_simple(padded, height=threshold, distance=PEAK_DISTANCE) - 1
         if len(peaks) >= 3:  # date, description, amount at minimum
             break
 
@@ -69,28 +89,35 @@ def detect_columns(lines: list[dict],
 
 def assign_token_to_column(token: dict, columns: list[dict]) -> int:
     """x-center containment, falling back to nearest column center."""
+    return _assign_with_containment(token, columns)[0]
+
+
+def _assign_with_containment(token: dict, columns: list[dict]) -> tuple[int, bool]:
+    """(column_index, was_contained): containment first, else nearest
+    column center with contained=False so callers can apply weaker
+    tie-breaks (word-adjacency) on the fallback path only."""
     if not columns:
-        return 0
+        return 0, True
     x_center = (token["x0"] + token["x1"]) / 2.0
     for col in columns:
         if col["x_start"] <= x_center <= col["x_end"]:
-            return col["column_index"]
+            return col["column_index"], True
     distances = [abs(x_center - (c["x_start"] + c["x_end"]) / 2.0) for c in columns]
-    return columns[distances.index(min(distances))]["column_index"]
+    return columns[distances.index(min(distances))]["column_index"], False
 
 
 def make_column_assigner(columns: list[dict]):
-    """Memoized token->column lookup for one fixed column layout.
+    """Memoized token->(column, contained) lookup for one layout.
 
     Fixed-width statement layouts repeat token x-spans across rows, so
     the (x0, x1) -> column mapping hits the cache almost always."""
-    cache: dict[tuple, int] = {}
+    cache: dict[tuple, tuple[int, bool]] = {}
 
-    def assign(token: dict) -> int:
+    def assign(token: dict) -> tuple[int, bool]:
         key = (token["x0"], token["x1"])
         col = cache.get(key)
         if col is None:
-            col = assign_token_to_column(token, columns)
+            col = _assign_with_containment(token, columns)
             cache[key] = col
         return col
 
@@ -109,10 +136,24 @@ def assign_line_to_cells(line: dict, columns: list[dict], assigner=None) -> list
     omitted: nothing downstream reads them.
     """
     if assigner is None:
-        assigner = lambda t: assign_token_to_column(t, columns)  # noqa: E731
+        assigner = lambda t: _assign_with_containment(t, columns)  # noqa: E731
     cell_tokens: dict[int, list[dict]] = {}
+    prev_tok = None
+    prev_col = None
     for token in line["tokens"]:
-        cell_tokens.setdefault(assigner(token), []).append(token)
+        col, contained = assigner(token)
+        # word-adjacency tie-break on the fallback path only: a token
+        # whose center lies in NO column but that sits a single space
+        # after its neighbour belongs to the neighbour's visual word
+        # group (e.g. the year of an overflowing date), not to whatever
+        # column center happens to be nearest
+        if (not contained and prev_tok is not None
+                and token.get("start") is not None
+                and prev_tok.get("end") is not None
+                and token["start"] - prev_tok["end"] <= 1):
+            col = prev_col
+        cell_tokens.setdefault(col, []).append(token)
+        prev_tok, prev_col = token, col
 
     turn_idx = line.get("turn_idx")
     cells = []

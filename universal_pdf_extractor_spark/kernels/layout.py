@@ -127,6 +127,13 @@ def tokenize_turn(text: Optional[str]) -> tuple[list[dict], list[dict]]:
                 "line_origin": i,
                 "start": offset + a,
                 "end": offset + b,
+                # line-local char columns: segment-level analysis
+                # re-normalizes geometry over a shared width so tokens
+                # from turns of different widths stay comparable (the
+                # reference's pages share one coordinate system;
+                # per-turn scaling is a transcripts artifact)
+                "col0": a,
+                "col1": b,
             }
             line_tokens.append(tok)
             tokens.append(tok)

@@ -308,6 +308,107 @@ def _fallback_grid_records(lines: list[dict], today: date) -> tuple[list[dict], 
 _DELIM_RE = _re.compile(r"[|;]")
 
 
+def _split_columns_by_header(columns: list[dict], header_line: dict) -> list[dict]:
+    """Split detected columns whose header cell merges several amount
+    headers ("Paid Out Paid In" in one window is proof the histogram
+    under-split — adjacent right-justified columns have smeared start
+    positions, so short values between them would otherwise land in
+    whichever neighbour is nearest and merge with its cell).  Split
+    boundaries come from the header's own word-group spans; the last
+    sub-column extends at least to its header group's right edge.
+    Columns are re-indexed left to right.  Applies only when the
+    histogram produced a real multi-column layout: a single mega
+    column means total histogram failure, where the grid fallback's
+    per-row gap cells handle ragged data better than header-projected
+    windows would.
+    """
+    from .columns import assign_token_to_column
+    from .semantic import AMOUNT_ROLES, match_header
+
+    if len(columns) < 2:
+        return columns
+
+    # word-groups FIRST (split at >=2-char gaps), then each whole
+    # group lands on one column by its span center — a header phrase
+    # straddling a detected boundary ("Paid In" half-in, half-out)
+    # must not be torn apart by per-token assignment
+    word_groups: list[list[dict]] = []
+    prev_tok = None
+    for tok in header_line["tokens"]:
+        if (word_groups and prev_tok is not None
+                and tok.get("start") is not None
+                and prev_tok.get("end") is not None
+                and tok["start"] - prev_tok["end"] < 2):
+            word_groups[-1].append(tok)
+        else:
+            word_groups.append([tok])
+        prev_tok = tok
+
+    groups_per_col: dict[int, list[list[dict]]] = {}
+    for g in word_groups:
+        span = {"x0": g[0]["x0"], "x1": g[-1]["x1"]}
+        ci = assign_token_to_column(span, columns)
+        groups_per_col.setdefault(ci, []).append(g)
+
+    out: list[dict] = []
+    for col in columns:
+        groups = groups_per_col.get(col["column_index"], [])
+        n_amount = sum(1 for g in groups
+                       if match_header(" ".join(t["text"] for t in g))
+                       in AMOUNT_ROLES)
+        if n_amount < 2:
+            out.append(dict(col))
+            continue
+        # >=2 amount headers in one window prove under-splitting:
+        # split by EVERY header word-group so non-amount sub-headers
+        # (date/description) keep their regions too
+        for k, g in enumerate(groups):
+            x_start = col["x_start"] if k == 0 else (groups[k - 1][-1]["x1"]
+                                                     + g[0]["x0"]) / 2.0
+            if k + 1 < len(groups):
+                x_end = (g[-1]["x1"] + groups[k + 1][0]["x0"]) / 2.0
+            else:
+                x_end = max(col["x_end"], g[-1]["x1"])
+            out.append({"column_index": -1, "x_start": x_start,
+                        "x_end": x_end, "role": "UNKNOWN"})
+    out.sort(key=lambda c: c["x_start"])
+    for i, col in enumerate(out):
+        col["column_index"] = i
+    return out
+
+
+def _rescale_segment_geometry(lines: list[dict]) -> None:
+    """Re-normalize token/line x-geometry over a SEGMENT-wide width.
+
+    tokenize_turn normalizes x by each turn's own max line length, so
+    the same character column lands at different x in turns of
+    different widths (a narrow chatter turn between statement pages
+    rescales everything) — which smears the column histogram exactly
+    where the reference's page-absolute pdfplumber coordinates would
+    stay aligned (pdfplumber_engine.py coordinate contract).  Tokens
+    carry their line-local char columns (layout.py col0/col1); when
+    present, x is re-derived as col/segment_width in place.  Segments
+    whose lines all came from one turn are unchanged (same width).
+    y-geometry (per-turn line index ordering) is untouched.
+    """
+    width = 0
+    for ln in lines:
+        for t in ln["tokens"]:
+            c1 = t.get("col1")
+            if c1 is None:
+                return  # externally-supplied token table: keep its x
+            if c1 > width:
+                width = c1
+    if width <= 0:
+        return
+    for ln in lines:
+        for t in ln["tokens"]:
+            t["x0"] = t["col0"] / width
+            t["x1"] = t["col1"] / width
+        ln["x0"] = min(t["x0"] for t in ln["tokens"])
+        ln["x1"] = max(t["x1"] for t in ln["tokens"])
+
+
 def _has_internal_gap(line: dict) -> bool:
     """True iff any consecutive token pair is separated by >= 2 chars
     (i.e. the raw line has an internal multi-space run the grid
@@ -545,6 +646,8 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
     if not lines:
         return empty
 
+    _rescale_segment_geometry(lines)
+
     all_lines = lines  # pre-header-strip view for the fallback parsers
 
     # Delimiter-dominant segments go straight to the delimiter parser:
@@ -613,6 +716,7 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
     header_idx = detect_header_line(lines)
     header_texts = None
     if header_idx is not None:
+        columns = _split_columns_by_header(columns, lines[header_idx])
         header_texts = extract_header_texts(lines[header_idx], columns)
         lines = lines[header_idx + 1:]
 

@@ -199,6 +199,21 @@ def assign_column_roles(columns: list[dict],
         else:
             roles[i] = ROLE_UNKNOWN
 
+    # pass 2.5: two amount columns with no BALANCE — the rightmost is
+    # the running balance.  The reference encodes this bank-layout
+    # invariant through header keywords (semantic_mapper.py:131 maps
+    # "balance" in pass 1) and its sign-change heuristic is marginal
+    # exactly when credits are frequent (score ~1-2p(flip) hovers at
+    # the 0.6 threshold), so headerless segments would otherwise end
+    # with two SINGLE_AMOUNTs — and the field projection would take
+    # the balance as the transaction amount.
+    if ROLE_BALANCE not in roles.values():
+        singles = [i for i, r in roles.items()
+                   if r == ROLE_SINGLE_AMOUNT and i < len(columns)]
+        if len(singles) >= 2:
+            rightmost = max(singles, key=lambda i: columns[i]["x_start"])
+            roles[rightmost] = ROLE_BALANCE
+
     # pass 3: fallbacks
     if ROLE_DATE not in set(roles.values()):
         for i in sorted(roles):
