@@ -73,23 +73,56 @@ def _burn(k):
     return s
 
 
+def _burn_bw(_):
+    import time as _t
+
+    import numpy as np
+    a = np.empty(50_000_000, dtype=np.uint8)
+    b = np.ones(50_000_000, dtype=np.uint8)
+    t0 = _t.perf_counter()
+    n = 0
+    while _t.perf_counter() - t0 < 3.0:
+        a[:] = b
+        b[:] = a
+        n += 2
+    return n * 0.05  # GB copied
+
+
 def hardware_control(n: int) -> dict:
-    """Ideal-parallel control: pure-CPU multiprocessing burn at N and
-    4N processes.  Bounds what ANY workload can achieve on this host
-    (all-core turbo < few-core turbo; shared memory bus); the engine's
-    efficiency should be read relative to this ceiling."""
+    """Two ideal-parallel controls bracketing any real workload on
+    this host:
+
+    - compute-bound (cache-resident integer burn): the ceiling for
+      CPU-limited work — all-core turbo vs few-core turbo.
+    - bandwidth-bound (50MB numpy copies): the ceiling for
+      memory-limited work.  This host's aggregate copy bandwidth
+      FALLS when going from N to 4N processes (shared/throttled
+      memory bus), so bandwidth-heavy phases scale NEGATIVELY no
+      matter the engine.
+
+    A string/Arrow analytics pipeline sits between the two; its
+    efficiency must be read against this bracket, not against 1.0."""
     import multiprocessing as mp
     import time
 
     burn = _burn
     out = {}
+    bw = {}
     for procs in (n, 4 * n):
         with mp.Pool(procs) as pool:
             t0 = time.perf_counter()
             pool.map(burn, [3_000_000] * (procs * 16))
             out[procs] = (procs * 16) / (time.perf_counter() - t0)
+        with mp.Pool(procs) as pool:
+            t0 = time.perf_counter()
+            gb = sum(pool.map(_burn_bw, range(procs)))
+            bw[procs] = gb / (time.perf_counter() - t0)
     return {"control_speedup": round(out[4 * n] / out[n], 3),
-            "control_efficiency": round(out[4 * n] / out[n] / 4, 3)}
+            "control_efficiency": round(out[4 * n] / out[n] / 4, 3),
+            "bandwidth_gbps_n": round(bw[n], 1),
+            "bandwidth_gbps_4n": round(bw[4 * n], 1),
+            "bandwidth_control_speedup": round(bw[4 * n] / bw[n], 3),
+            "bandwidth_control_efficiency": round(bw[4 * n] / bw[n] / 4, 3)}
 
 
 def main() -> None:

@@ -11,13 +11,20 @@ Entries without SQL omit the oracle -> the driver records a rows-only
 check.  The remaining no-oracle entries, each with its reason:
 
 - transcripts_records / transcripts_conversations /
-  transcripts_segments: depend on the per-segment record extraction,
-  whose balance-chain solver carries sequential `current <- reported`
-  state (balance_solver.py semantics) — inherently not expressible in
-  set-oriented SQL.  Value equality is gated by
-  tests/test_pipeline_e2e.py against the single-process oracle and by
-  the frozen golden fixtures; the SQL-expressible projections
-  (transcripts_turns in full, segment turn ranges) ARE oracle-checked.
+  transcripts_segments: the FULL rows depend on the per-segment
+  record extraction, whose balance-chain solver carries sequential
+  `current <- reported` state (balance_solver.py semantics) —
+  inherently not expressible in set-oriented SQL.  Value equality is
+  gated by tests/test_pipeline_e2e.py against the single-process
+  oracle and by the frozen golden fixtures; the SQL-expressible
+  projections ARE oracle-checked: transcripts_turns in full, segment
+  turn ranges, and the record surface through three hash-checked
+  oracles — transcripts_records_delim (every delim-tier record, all
+  solver-independent columns), transcripts_records_pattern (every
+  pattern-tier record), and transcripts_records_amounts (every
+  amount-bearing main-path record on headered segments: order, turn,
+  date, exact cents).  Only direction/balance-chain/confidence
+  columns on the main path remain pytest-gated.
 - multimodal_features: payloads are Spark-generated binaries with no
   DuckDB-side source, and the decode step is a documented stub.
 - transcripts_detected_tables: the histogram/peak column geometry it
