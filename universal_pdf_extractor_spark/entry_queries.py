@@ -23,8 +23,10 @@ check.  The remaining no-oracle entries, each with its reason:
   solver-independent columns), transcripts_records_pattern (every
   pattern-tier record), and transcripts_records_amounts (every
   amount-bearing main-path record on headered segments: order, turn,
-  date, exact cents).  Only direction/balance-chain/confidence
-  columns on the main path remain pytest-gated.
+  date, exact cents) — plus transcripts_segments_balances (ranges +
+  W7 opening/closing marker picks on the same slice).  Only
+  direction/balance-chain/confidence columns on the main path and
+  headerless-segment rows remain pytest-gated.
 - multimodal_features: payloads are Spark-generated binaries with no
   DuckDB-side source, and the decode step is a documented stub.
 - transcripts_detected_tables: the histogram/peak column geometry it
@@ -1403,51 +1405,21 @@ def _records_pattern_sql() -> str:
     """
 
 
-def _records_amounts_sql() -> str:
-    """Generated oracle for the MAIN extraction path's amount rows
-    (the solver-independent projection of W9 on the histogram/grid
-    routes): for segments routed to neither structured tier (the
-    complement of the two majority rules), every amount-bearing record
-    the engine reconstructs corresponds to a transaction line whose
-    trailing money tokens carry the amount (and balance, when the
-    layout has one) and whose leading tokens carry the date — the
-    line-level view of the same fields the column geometry extracts.
-    The oracle re-derives (turn, seq, date, amount) per segment from
-    the snapshot, pinning row recovery, ordering, date parsing and
-    exact amounts without reproducing the histogram itself;
-    description/roles/direction on this slice stay pytest-gated.
-    Money shapes cover the corpus conventions (plain, comma-grouped,
-    parens, leading/trailing minus, CR/DR suffix tokens).
+def _header_kw_sum() -> str:
+    from .kernels.patterns import HEADER_KEYWORDS
+    return " + ".join(f"(CASE WHEN low LIKE '%{kw}%' THEN 1 ELSE 0 END)"
+                      for kw in sorted(HEADER_KEYWORDS))
+
+
+def _mainslice_ctes() -> str:
+    """Shared CTE prefix for the main-route oracles: per-segment RAW
+    lines with ordering, routing flags, the neither-majority slice
+    rule, and detect_header_line's headered restriction + header
+    consumption (the engine strips the detected header line and
+    everything before it — including a data row eaten as a false
+    header, e.g. "DIRECT DEBIT ... DR" opening a headerless segment).
     """
-    from .kernels.patterns import BALANCE_MARKER_RLIKE, HEADER_KEYWORDS, SUMMARY_ROW_RLIKE
-    summary = _sql_regex(f"(?:{BALANCE_MARKER_RLIKE})|(?:{SUMMARY_ROW_RLIKE})")
-    money = (r"^\(?-?[" + chr(163) + chr(36) + chr(8364)
-             + r"]?(?:\d{1,3}(?:,\d{3})+|\d+)\.\d{2}\)?-?$")
-    kw_sum = " + ".join(f"(CASE WHEN low LIKE '%{kw}%' THEN 1 ELSE 0 END)"
-                        for kw in sorted(HEADER_KEYWORDS))
-
-    def tok_cents_abs(expr: str) -> str:
-        return rf"""(CAST(replace(regexp_extract({expr}, '(\d[\d,]*)\.', 1),
-                             ',', '') AS BIGINT) * 100
-                + CAST(regexp_extract({expr}, '\.(\d{{2}})', 1) AS BIGINT))"""
-
-    def try_date(expr: str) -> str:
-        return f"""COALESCE(
-            CAST(try_strptime({expr}, '%d/%m/%Y') AS DATE),
-            CAST(try_strptime({expr}, '%d %b %Y') AS DATE),
-            CAST(try_strptime({expr}, '%d/%m/%y') AS DATE),
-            CAST(try_strptime({expr}, '%Y-%m-%d') AS DATE),
-            CAST(try_strptime({expr}, '%d %B %Y') AS DATE),
-            CAST(try_strptime({expr}, '%d%b%y') AS DATE))"""
-
-    def pivot(expr: str) -> str:
-        return f"""CASE WHEN year({expr}) < 100
-            THEN make_date(CASE WHEN year({expr}) % 100 > 50
-                                THEN 1900 + year({expr}) % 100
-                                ELSE 2000 + year({expr}) % 100 END,
-                           month({expr}), day({expr}))
-            ELSE {expr} END"""
-
+    kw_sum = _header_kw_sum()
     return rf"""
     raw_lines AS (
         SELECT s.conv_id, s.segment_index, s.turn_idx,
@@ -1472,12 +1444,6 @@ def _records_amounts_sql() -> str:
         GROUP BY 1, 2
         HAVING 2 * SUM(CASE WHEN is_delim THEN 1 ELSE 0 END) <= COUNT(*)
            AND 2 * SUM(CASE WHEN is_single THEN 1 ELSE 0 END) <= COUNT(*)),
-    -- headered restriction + header consumption: detect_header_line
-    -- takes the FIRST line with >=2 header keywords among the
-    -- segment's first 10; the engine strips that line and everything
-    -- before it, so rows start strictly after header_ord (this also
-    -- models a data row being eaten as a false header, e.g.
-    -- "DIRECT DEBIT ... DR" opening a headerless segment)
     headered AS (
         SELECT conv_id, segment_index, MIN(line_ord) AS header_ord
         FROM (SELECT conv_id, segment_index, line_ord, lower(line) AS low,
@@ -1485,7 +1451,54 @@ def _records_amounts_sql() -> str:
                                         ORDER BY line_ord) AS ord
               FROM flagged)
         WHERE ord <= 10 AND ({kw_sum}) >= 2
-        GROUP BY 1, 2),
+        GROUP BY 1, 2)"""
+
+
+def _records_amounts_sql() -> str:
+    """Generated oracle for the MAIN extraction path's amount rows
+    (the solver-independent projection of W9 on the histogram/grid
+    routes): for segments routed to neither structured tier (the
+    complement of the two majority rules), every amount-bearing record
+    the engine reconstructs corresponds to a transaction line whose
+    trailing money tokens carry the amount (and balance, when the
+    layout has one) and whose leading tokens carry the date — the
+    line-level view of the same fields the column geometry extracts.
+    The oracle re-derives (turn, seq, date, amount) per segment from
+    the snapshot, pinning row recovery, ordering, date parsing and
+    exact amounts without reproducing the histogram itself;
+    description/roles/direction on this slice stay pytest-gated.
+    Money shapes cover the corpus conventions (plain, comma-grouped,
+    parens, leading/trailing minus, CR/DR suffix tokens).
+    """
+    from .kernels.patterns import BALANCE_MARKER_RLIKE, HEADER_KEYWORDS, SUMMARY_ROW_RLIKE
+    summary = _sql_regex(f"(?:{BALANCE_MARKER_RLIKE})|(?:{SUMMARY_ROW_RLIKE})")
+    money = (r"^\(?-?[" + chr(163) + chr(36) + chr(8364)
+             + r"]?(?:\d{1,3}(?:,\d{3})+|\d+)\.\d{2}\)?-?$")
+    kw_sum = _header_kw_sum()
+
+    def tok_cents_abs(expr: str) -> str:
+        return rf"""(CAST(replace(regexp_extract({expr}, '(\d[\d,]*)\.', 1),
+                             ',', '') AS BIGINT) * 100
+                + CAST(regexp_extract({expr}, '\.(\d{{2}})', 1) AS BIGINT))"""
+
+    def try_date(expr: str) -> str:
+        return f"""COALESCE(
+            CAST(try_strptime({expr}, '%d/%m/%Y') AS DATE),
+            CAST(try_strptime({expr}, '%d %b %Y') AS DATE),
+            CAST(try_strptime({expr}, '%d/%m/%y') AS DATE),
+            CAST(try_strptime({expr}, '%Y-%m-%d') AS DATE),
+            CAST(try_strptime({expr}, '%d %B %Y') AS DATE),
+            CAST(try_strptime({expr}, '%d%b%y') AS DATE))"""
+
+    def pivot(expr: str) -> str:
+        return f"""CASE WHEN year({expr}) < 100
+            THEN make_date(CASE WHEN year({expr}) % 100 > 50
+                                THEN 1900 + year({expr}) % 100
+                                ELSE 2000 + year({expr}) % 100 END,
+                           month({expr}), day({expr}))
+            ELSE {expr} END"""
+
+    return rf"""{_mainslice_ctes()},
     rows_in AS (
         SELECT f.conv_id, f.segment_index, f.turn_idx, f.line_ord, f.line,
                string_split(f.line, ' ') AS toks
@@ -1566,6 +1579,114 @@ def _headered_segments(turns: DataFrame) -> DataFrame:
             .where(F.col("_ord") <= 10)
             .where(kw_count >= 2)
             .select("conv_id", "segment_index").distinct())
+
+
+def _segments_balances_sql() -> str:
+    """Generated oracle for the segments table's turn ranges and
+    opening/closing balances (W7 first/last marker picks,
+    orchestrator.py:599-613) on the headered main-route slice: marker
+    rows are post-header lines matching the balance-marker patterns,
+    their balance value is the trailing money token, and a segment has
+    balance picks at all only when its header maps a BALANCE column
+    (match_header keywords — the corpus' headered segments assign
+    ROLE_BALANCE exactly by header keyword)."""
+    from .kernels.patterns import BALANCE_MARKER_RLIKE
+    marker = _sql_regex(BALANCE_MARKER_RLIKE)
+    money = (r"^\(?-?[" + chr(163) + chr(36) + chr(8364)
+             + r"]?(?:\d{1,3}(?:,\d{3})+|\d+)\.\d{2}\)?-?$")
+    cents = r"""(CASE WHEN m.money_tok LIKE '(%' OR m.money_tok LIKE '-%'
+                      OR m.money_tok LIKE '%-' THEN -1 ELSE 1 END)
+         * (CAST(replace(regexp_extract(m.money_tok, '(\d[\d,]*)\.', 1),
+                         ',', '') AS BIGINT) * 100
+            + CAST(regexp_extract(m.money_tok, '\.(\d{2})', 1) AS BIGINT))"""
+    return rf"""{_mainslice_ctes()},
+    ranges AS (
+        SELECT conv_id, segment_index,
+               CAST(MIN(turn_idx) AS INT) AS start_turn,
+               CAST(MAX(turn_idx) AS INT) AS end_turn
+        FROM turn_segmented GROUP BY 1, 2),
+    hdr_balance AS (
+        SELECT f.conv_id, f.segment_index,
+               (lower(f.line) LIKE '%balance%' OR lower(f.line) LIKE '%running%'
+                OR lower(f.line) LIKE '%closing%') AS has_balance
+        FROM flagged f
+        JOIN headered h ON f.conv_id = h.conv_id
+                       AND f.segment_index = h.segment_index
+                       AND f.line_ord = h.header_ord),
+    marker_vals AS (
+        SELECT m.conv_id, m.segment_index, m.line_ord, {cents} AS bal
+        FROM (
+            SELECT f.conv_id, f.segment_index, f.line_ord,
+                   string_split(f.line, ' ')[len(string_split(f.line, ' '))]
+                       AS money_tok
+            FROM flagged f
+            JOIN headered h USING (conv_id, segment_index)
+            WHERE f.line_ord > h.header_ord
+              AND regexp_matches(lower(f.line), '{marker}')) m
+        WHERE regexp_matches(m.money_tok, '{money}')),
+    balances AS (
+        SELECT conv_id, segment_index,
+               arg_min(bal, line_ord) AS opening,
+               arg_max(bal, line_ord) AS closing
+        FROM marker_vals GROUP BY 1, 2)
+    SELECT r.conv_id, r.segment_index, r.start_turn, r.end_turn,
+           CASE WHEN hb.has_balance THEN b.opening END AS opening_cents,
+           CASE WHEN hb.has_balance THEN b.closing END AS closing_cents
+    FROM ranges r
+    JOIN seg_ok USING (conv_id, segment_index)
+    JOIN hdr_balance hb USING (conv_id, segment_index)
+    LEFT JOIN balances b USING (conv_id, segment_index)
+    """
+
+
+@register("transcripts_segments_balances", None)  # SQL attached below
+def transcripts_segments_balances(spark, sf_dir):
+    """Segments-table projection (ranges + W7 opening/closing marker
+    balances) on the headered main-route slice, hash-checked against
+    _segments_balances_sql.  The slice is the same pure data rule on
+    both engines (see transcripts_records_amounts)."""
+    out = _pipeline_outputs(spark, sf_dir)
+    segs = out["segments"]
+    turns = out["turns"]
+    headered = _headered_segments(turns)
+    main = _mainroute_segments(spark, turns)
+    return (segs.join(headered, ["conv_id", "segment_index"])
+            .join(main, ["conv_id", "segment_index"])
+            .select("conv_id", "segment_index", "start_turn", "end_turn",
+                    (F.col("opening_balance") * 100).cast("long").alias("opening_cents"),
+                    (F.col("closing_balance") * 100).cast("long").alias("closing_cents")))
+
+
+def _mainroute_segments(spark: SparkSession, turns: DataFrame) -> DataFrame:
+    """(conv_id, segment_index) where neither structured-tier majority
+    rule fires — the analyse_segment routing complement, as a native
+    re-derivation of the same data property (see _headered_segments).
+    The single-space rule needs pre-normalization whitespace runs, so
+    lines come from the snapshot payloads (the turns output's raw_text
+    is already whitespace-normalized), joined to segment indices."""
+    snap = spark.read.parquet(TRANSCRIPTS_SNAPSHOT)
+    payload = F.when((F.col("text").isNotNull()) & (F.col("text") != ""),
+                     F.col("text")) \
+               .when((F.col("tool").isNotNull()) & (F.col("tool") != ""),
+                     F.col("tool")).otherwise(F.lit(""))
+    lines = (snap.select("conv_id", "turn_idx", payload.alias("payload"))
+             .join(turns.select("conv_id", "turn_idx", "segment_index"),
+                   ["conv_id", "turn_idx"])
+             .select("conv_id", "segment_index",
+                     F.explode(F.filter(
+                         F.split("payload", "\n"),
+                         lambda l: F.trim(F.regexp_replace(l, r"\s+", " ")) != ""))
+                     .alias("raw")))
+    is_delim = F.col("raw").rlike("[|;]")
+    is_single = (~is_delim) & (~F.col("raw").rlike(r"\S\s\s+\S"))
+    return (lines
+            .groupBy("conv_id", "segment_index")
+            .agg(F.sum(is_delim.cast("int")).alias("_d"),
+                 F.sum(is_single.cast("int")).alias("_s"),
+                 F.count(F.lit(1)).alias("_n"))
+            .where((2 * F.col("_d") <= F.col("_n"))
+                   & (2 * F.col("_s") <= F.col("_n")))
+            .select("conv_id", "segment_index"))
 
 
 @register("transcripts_records_amounts", None)  # SQL attached below
@@ -1790,6 +1911,11 @@ def _attach_turns_sql() -> None:
     _REGISTRY["transcripts_records_amounts"] = (fn, f"""
     WITH {view},
     {_records_amounts_sql()}
+""")
+    fn, _ = _REGISTRY["transcripts_segments_balances"]
+    _REGISTRY["transcripts_segments_balances"] = (fn, f"""
+    WITH {view},
+    {_segments_balances_sql()}
 """)
 
 
