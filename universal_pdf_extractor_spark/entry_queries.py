@@ -1917,9 +1917,23 @@ def _attach_turns_sql() -> None:
     WITH {view},
     {_segments_balances_sql()}
 """)
+    fn, _ = _REGISTRY["transcripts_detected_tables_routing"]
+    _REGISTRY["transcripts_detected_tables_routing"] = (fn, f"""
+    WITH {view}
+    SELECT conv_id, segment_index, 'delim_grid' AS engine,
+           'TRANSACTION_TABLE' AS table_type,
+           CAST(COUNT(*) AS INT) AS row_count
+    FROM (WITH {_records_delim_sql()})
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT conv_id, segment_index, 'row_pattern' AS engine,
+           'TRANSACTION_TABLE' AS table_type,
+           CAST(COUNT(*) AS INT) AS row_count
+    FROM (WITH {_records_pattern_sql()})
+    GROUP BY 1, 2
+""")
 
 
-_attach_turns_sql()
 
 
 @register("transcripts_records", None)
@@ -1947,6 +1961,18 @@ def transcripts_segments(spark, sf_dir):
     return _pipeline_outputs(spark, sf_dir)["segments"]
 
 
+@register("transcripts_detected_tables_routing", None)  # SQL attached below
+def transcripts_detected_tables_routing(spark, sf_dir):
+    """Diagnostics routing oracle: on the structured-tier slices the
+    detected_tables row (engine, table_type, row_count) is fully
+    data-derivable — the oracle re-counts each tier's parsed rows, so
+    a mis-routed or mis-counted diagnostics row fails the hash."""
+    diag = _pipeline_outputs(spark, sf_dir)["detected_tables"]
+    return (diag.where(F.col("engine").isin("delim_grid", "row_pattern"))
+            .select("conv_id", "segment_index", "engine", "table_type",
+                    "row_count"))
+
+
 @register("transcripts_detected_tables", None)
 def transcripts_detected_tables(spark, sf_dir):
     """detected_tables diagnostics (tables.py:252-292 analogue): per
@@ -1956,6 +1982,9 @@ def transcripts_detected_tables(spark, sf_dir):
     geometry is the non-relational kernel itself; the row/engine
     contract is pinned by tests/test_fallback_tiers.py."""
     return _pipeline_outputs(spark, sf_dir)["detected_tables"]
+
+
+_attach_turns_sql()
 
 
 def queries() -> dict[str, QueryFn]:
