@@ -1470,11 +1470,10 @@ def _records_amounts_sql() -> str:
     Money shapes cover the corpus conventions (plain, comma-grouped,
     parens, leading/trailing minus, CR/DR suffix tokens).
     """
-    from .kernels.patterns import BALANCE_MARKER_RLIKE, HEADER_KEYWORDS, SUMMARY_ROW_RLIKE
+    from .kernels.patterns import BALANCE_MARKER_RLIKE, SUMMARY_ROW_RLIKE
     summary = _sql_regex(f"(?:{BALANCE_MARKER_RLIKE})|(?:{SUMMARY_ROW_RLIKE})")
     money = (r"^\(?-?[" + chr(163) + chr(36) + chr(8364)
              + r"]?(?:\d{1,3}(?:,\d{3})+|\d+)\.\d{2}\)?-?$")
-    kw_sum = _header_kw_sum()
 
     def tok_cents_abs(expr: str) -> str:
         return rf"""(CAST(replace(regexp_extract({expr}, '(\d[\d,]*)\.', 1),
