@@ -50,7 +50,8 @@ def test_full_run_then_exact_resume(spark, corpus, tmp_path_factory):
     assert sum(m["engine_events"]["turns_by_path"].values()) == m["input_rows"]
     assert set(m["engine_events"]["turns_by_path"]) <= {"TEXT", "TOOL", "EMPTY"}
     assert set(m["engine_events"]["records_by_parser"]) <= \
-        {"column_path", "text_grid_table", "delim_table", "row_pattern"}
+        {"column_path", "text_grid_table", "delim_table", "row_pattern",
+         "delim_table_rescue", "row_pattern_rescue"}
     assert m["duration_sec"] > 0
 
     # outputs carry the run_id column; registry reconstructs is_latest

@@ -120,6 +120,56 @@ def test_reconstruct_rows_balance_marker():
     assert len([r for r in rows if not r["is_balance_marker"]]) == len(_ROWS)
 
 
+def _role_row(date_s, *vals):
+    cells = [{"column_index": 0, "text": date_s}]
+    cells += [{"column_index": i + 1, "text": v} for i, v in enumerate(vals)]
+    return {"is_balance_marker": False, "cells": cells, "raw_text": date_s}
+
+
+_ROLE_COLS = [
+    {"column_index": 0, "x_start": 0.00, "x_end": 0.20, "role": "UNKNOWN"},
+    {"column_index": 1, "x_start": 0.40, "x_end": 0.60, "role": "UNKNOWN"},
+    {"column_index": 2, "x_start": 0.75, "x_end": 1.00, "role": "UNKNOWN"},
+]
+
+
+def test_pass25_promotes_chain_consistent_balance():
+    """Headerless amount+balance: the rightmost SINGLE_AMOUNT chains
+    with the other column's deltas -> promoted to BALANCE."""
+    rows = [
+        _role_row("02/01/2024", "50.00", "950.00"),
+        _role_row("03/01/2024", "200.00", "1150.00"),
+        _role_row("04/01/2024", "75.00", "1075.00"),
+        _role_row("05/01/2024", "125.00", "1200.00"),
+    ]
+    roles = assign_column_roles([dict(c) for c in _ROLE_COLS], None, rows)
+    assert roles[2] == "BALANCE"
+    assert roles[1] == "SINGLE_AMOUNT"
+
+
+def test_pass25_keeps_two_amounts_without_chain_evidence():
+    """Headerless two-amount layout (e.g. amount + fee, no balance):
+    the rightmost column neither chains nor dominates in magnitude ->
+    NOT reclassified as a balance (ADVICE round-3 finding)."""
+    rows = [
+        _role_row("02/01/2024", "50.00", "1.50"),
+        _role_row("03/01/2024", "200.00", "2.00"),
+        _role_row("04/01/2024", "75.00", "1.75"),
+        _role_row("05/01/2024", "125.00", "3.00"),
+    ]
+    roles = assign_column_roles([dict(c) for c in _ROLE_COLS], None, rows)
+    assert roles[1] == "SINGLE_AMOUNT"
+    assert roles[2] == "SINGLE_AMOUNT"
+
+
+def test_pass25_magnitude_fallback_on_short_segments():
+    """With <2 comparable delta pairs the gate falls back to the
+    magnitude test: a dominating right column still promotes."""
+    rows = [_role_row("02/01/2024", "50.00", "950.00")]
+    roles = assign_column_roles([dict(c) for c in _ROLE_COLS], None, rows)
+    assert roles[2] == "BALANCE"
+
+
 def test_analyse_segment_end_to_end_case3():
     """Integrated semantics: unsigned SINGLE_AMOUNT rows keep their
     sign-based direction (positive -> CREDIT 0.90,

@@ -1141,6 +1141,10 @@ def _records_delim_sql() -> str:
             CAST(try_strptime(date_raw, '%d %B %Y') AS DATE),
             CAST(try_strptime(date_raw, '%d%b%y') AS DATE))"""
 
+    # line_ord packs (turn_idx, line_no) into one ordinal assuming
+    # < 100000 non-empty lines per turn — a corpus bound far above the
+    # payload sizes the generator emits (<= a few hundred); a turn
+    # exceeding it would alias into the next turn's ordinal space
     return rf"""
     seg_lines AS (
         SELECT s.conv_id, s.segment_index, s.turn_idx,
@@ -1295,6 +1299,8 @@ def _records_pattern_sql() -> str:
                            month({expr}), day({expr}))
             ELSE {expr} END"""
 
+    # line_ord: packed (turn_idx, line_no) ordinal — see the
+    # <100000-lines-per-turn corpus-bound note in _records_delim_sql
     return rf"""
     raw_lines AS (
         SELECT s.conv_id, s.segment_index, s.turn_idx,
@@ -1420,6 +1426,8 @@ def _mainslice_ctes() -> str:
     header, e.g. "DIRECT DEBIT ... DR" opening a headerless segment).
     """
     kw_sum = _header_kw_sum()
+    # line_ord: packed (turn_idx, line_no) ordinal — see the
+    # <100000-lines-per-turn corpus-bound note in _records_delim_sql
     return rf"""
     raw_lines AS (
         SELECT s.conv_id, s.segment_index, s.turn_idx,
@@ -1549,6 +1557,14 @@ def _records_amounts_sql() -> str:
            posted_date, amount_cents
     FROM recs
     """
+
+
+# every non-main-path direction_source the tiers can emit; the
+# "_rescue" variants mark cascade rescues on segments where neither
+# majority routing rule fired (segment_extract._fallback), which the
+# structured-tier oracles must never alias into their slices
+_FALLBACK_SOURCES = ["text_grid_table", "delim_table", "row_pattern",
+                     "delim_table_rescue", "row_pattern_rescue"]
 
 
 def _headered_segments(turns: DataFrame) -> DataFrame:
@@ -1698,7 +1714,7 @@ def transcripts_records_amounts(spark, sf_dir):
     rec = out["records"]
     headered = _headered_segments(out["turns"])
     w = Window.partitionBy("conv_id", "segment_index").orderBy("row_index")
-    return (rec.where((~F.col("direction_source").isin("delim_table", "row_pattern"))
+    return (rec.where((~F.col("direction_source").isin(_FALLBACK_SOURCES))
                       & F.col("amount").isNotNull())
             .join(headered, ["conv_id", "segment_index"])
             .select("conv_id", "segment_index",

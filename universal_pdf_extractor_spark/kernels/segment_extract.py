@@ -692,12 +692,25 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
     def _fallback():
         """Fallback cascade (orchestrator.py:569-578 pdfplumber ->
         :982 tabula -> :1190 camelot): each tier gets the rescue
-        chance before the segment is abandoned."""
+        chance before the segment is abandoned.
+
+        Cascade-rescued delim/pattern output is tagged with a distinct
+        "_rescue" suffix (direction_source and diagnostics engine):
+        the delim/pattern record oracles and the routing oracle slice
+        the engine output by these names, and their SQL sides re-derive
+        only the MAJORITY-routed segments — a cascade rescue on a
+        segment where neither majority rule fires must not alias into
+        the oracle slice.  text_grid keeps its name: no majority route
+        emits it, so it is unambiguous already."""
         for tier_fn, tier_name in ((_fallback_grid_records, "text_grid"),
                                    (_fallback_delim_records, "delim_grid"),
                                    (_fallback_pattern_records, "row_pattern")):
             records, info = tier_fn(all_lines, today)
             if records:
+                if tier_name != "text_grid":
+                    tier_name = tier_name + "_rescue"
+                    for rec in records:
+                        rec["direction_source"] += "_rescue"
                 return {"records": records, "opening_balance": None,
                         "closing_balance": None,
                         "closing_balance_distinct": False,

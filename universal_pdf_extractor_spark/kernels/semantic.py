@@ -130,6 +130,62 @@ def column_stats(rows: list[dict], columns: list[dict]) -> dict[int, dict]:
     return out
 
 
+def _first_cell_value(row: dict, column_index: int) -> Optional[float]:
+    """First cell's numeric value in a column, stats-pass semantics
+    (currency/comma strip then float; unparseable -> None)."""
+    for cell in row["cells"]:
+        if cell["column_index"] == column_index:
+            text = cell["text"].strip()
+            if not text:
+                return None
+            try:
+                return float(_CURRENCY_STRIP_RE.sub("", text))
+            except ValueError:
+                return None
+    return None
+
+
+def _balance_chain_evidence(sample_rows: list[dict], candidate: int,
+                            others: list[int]) -> bool:
+    """Promotion gate for the headerless rightmost-two-SINGLE_AMOUNT
+    rule: promote to BALANCE only when the candidate column actually
+    behaves like a running balance — consecutive deltas matching the
+    other amount column within a 2p tolerance (one penny-off reported
+    row shifts two adjacent deltas by 1p each) on a majority of
+    comparable row pairs.  When fewer than two pairs parse, fall back
+    to a magnitude test: running balances accumulate, so their mean
+    magnitude dominates the per-row amounts.  Guards the genuine
+    two-amount no-balance layout (e.g. paid-out/paid-in) from having
+    its second amount column silently reclassified as a balance.
+    """
+    b_vals: list[Optional[float]] = []
+    a_vals: list[Optional[float]] = []
+    for row in sample_rows:
+        if row["is_balance_marker"]:
+            continue
+        b_vals.append(_first_cell_value(row, candidate))
+        a_vals.append(next(
+            (v for v in (_first_cell_value(row, o) for o in others)
+             if v is not None), None))
+
+    fits = comparable = 0
+    prev: Optional[float] = None
+    for b, a in zip(b_vals, a_vals):
+        if b is not None and prev is not None and a is not None:
+            comparable += 1
+            if abs(abs(b - prev) - abs(a)) <= 0.02:
+                fits += 1
+        if b is not None:
+            prev = b
+    if comparable >= 2:
+        return fits * 2 >= comparable
+    b_mag = [abs(b) for b in b_vals if b is not None]
+    a_mag = [abs(a) for a in a_vals if a is not None]
+    if not b_mag or not a_mag:
+        return False
+    return sum(b_mag) / len(b_mag) >= 2.0 * (sum(a_mag) / len(a_mag))
+
+
 def match_header(header_text: str) -> Optional[str]:
     """Single header cell -> role, with specificity overrides."""
     h = header_text.lower().strip()
@@ -200,7 +256,8 @@ def assign_column_roles(columns: list[dict],
             roles[i] = ROLE_UNKNOWN
 
     # pass 2.5: two amount columns with no BALANCE — the rightmost is
-    # the running balance.  The reference encodes this bank-layout
+    # the running balance, IF its values actually chain like one
+    # (_balance_chain_evidence).  The reference encodes this bank-layout
     # invariant through header keywords (semantic_mapper.py:131 maps
     # "balance" in pass 1) and its sign-change heuristic is marginal
     # exactly when credits are frequent (score ~1-2p(flip) hovers at
@@ -212,7 +269,10 @@ def assign_column_roles(columns: list[dict],
                    if r == ROLE_SINGLE_AMOUNT and i < len(columns)]
         if len(singles) >= 2:
             rightmost = max(singles, key=lambda i: columns[i]["x_start"])
-            roles[rightmost] = ROLE_BALANCE
+            if _balance_chain_evidence(
+                    sample_rows, rightmost,
+                    [i for i in singles if i != rightmost]):
+                roles[rightmost] = ROLE_BALANCE
 
     # pass 3: fallbacks
     if ROLE_DATE not in set(roles.values()):
