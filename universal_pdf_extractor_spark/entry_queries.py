@@ -21,12 +21,16 @@ check.  The remaining no-oracle entries, each with its reason:
   turn ranges, and the record surface through three hash-checked
   oracles — transcripts_records_delim (every delim-tier record, all
   solver-independent columns), transcripts_records_pattern (every
-  pattern-tier record), and transcripts_records_amounts (every
+  pattern-tier record), transcripts_records_amounts (every
   amount-bearing main-path record on headered segments: order, turn,
-  date, exact cents) — plus transcripts_segments_balances (ranges +
-  W7 opening/closing marker picks on the same slice).  Only
-  direction/balance-chain/confidence columns on the main path and
-  headerless-segment rows remain pytest-gated.
+  date, exact cents), and transcripts_records_directions (the W4/W6
+  balance-chain solver surface — direction, balance_confirmed,
+  tolerance ladder, OCR rescue, confidence — on the case-1/case-3
+  headered slice via the lag(reported-balance) reformulation) — plus
+  transcripts_segments_balances (ranges + W7 opening/closing marker
+  picks on the same slice).  Only headerless-segment rows and the
+  geometry-only direction choice on UNCONFIRMED case-1 rows remain
+  pytest-gated.
 - multimodal_features: payloads are Spark-generated binaries with no
   DuckDB-side source, and the decode step is a documented stub.
 - transcripts_detected_tables: the histogram/peak column geometry it
@@ -1567,6 +1571,218 @@ _FALLBACK_SOURCES = ["text_grid_table", "delim_table", "row_pattern",
                      "delim_table_rescue", "row_pattern_rescue"]
 
 
+def _records_directions_sql() -> str:
+    """Generated oracle for the balance-chain solver columns on the
+    case-1/case-3 headered main-route slice (see the engine-side
+    docstring on transcripts_records_directions): the per-row chain
+    state is lag(reported balance) anchored on the opening marker, the
+    tolerance ladder is [0, 1, 2, 5, 100] hundredths with the solver's
+    tolerance->confidence map applied engine-side, and the OCR rescue
+    re-derives the digit-substitution candidates (only '7'->'1' and
+    '3'->'8' can occur in a pure-digit decimal string) in candidate
+    order with debit tried before credit per position
+    (solver.attempt_balance_correction parity).
+    """
+    from .kernels.patterns import BALANCE_MARKER_RLIKE, SUMMARY_ROW_RLIKE
+    summary = _sql_regex(f"(?:{BALANCE_MARKER_RLIKE})|(?:{SUMMARY_ROW_RLIKE})")
+    marker = _sql_regex(BALANCE_MARKER_RLIKE)
+    money = (r"^\(?-?[" + chr(163) + chr(36) + chr(8364)
+             + r"]?(?:\d{1,3}(?:,\d{3})+|\d+)\.\d{2}\)?-?$")
+
+    def tok_cents(expr: str) -> str:
+        """Signed exact cents of a money-regex-matched token."""
+        return rf"""(CASE WHEN {expr} LIKE '(%' OR {expr} LIKE '-%'
+                          OR {expr} LIKE '%-' THEN -1 ELSE 1 END)
+             * (CAST(replace(regexp_extract({expr}, '(\d[\d,]*)\.', 1),
+                             ',', '') AS BIGINT) * 100
+                + CAST(regexp_extract({expr}, '\.(\d{{2}})', 1) AS BIGINT))"""
+
+    def ladder(expr: str) -> str:
+        return (f"CASE WHEN {expr} <= 0 THEN 0 WHEN {expr} <= 1 THEN 1"
+                f" WHEN {expr} <= 2 THEN 2 WHEN {expr} <= 5 THEN 5"
+                f" WHEN {expr} <= 100 THEN 100 END")
+
+    deb_kw = " OR ".join(f"hl LIKE '%{k}%'" for k in
+                         ["debit", "paid out", "money out", "withdrawal",
+                          "payments"])
+    cred_kw = " OR ".join(f"hl LIKE '%{k}%'" for k in
+                          ["credit", "paid in", "money in", "deposit",
+                           "receipts"])
+    bal_kw = "hl LIKE '%balance%' OR hl LIKE '%running%' OR hl LIKE '%closing%'"
+
+    return rf"""{_mainslice_ctes()},
+    hdr_case AS (
+        SELECT conv_id, segment_index, header_ord,
+               CASE WHEN ({deb_kw}) AND ({cred_kw}) AND ({bal_kw})
+                    THEN 'case1'
+                    WHEN hl LIKE '%amount%' AND ({bal_kw})
+                         AND NOT (({deb_kw}) OR ({cred_kw}))
+                    THEN 'case3' END AS case_type
+        FROM (SELECT f.conv_id, f.segment_index, h.header_ord,
+                     lower(f.line) AS hl
+              FROM flagged f
+              JOIN headered h ON f.conv_id = h.conv_id
+                             AND f.segment_index = h.segment_index
+                             AND f.line_ord = h.header_ord
+              JOIN seg_ok s ON f.conv_id = s.conv_id
+                           AND f.segment_index = s.segment_index)
+        WHERE case_type IS NOT NULL),
+    data_lines AS (
+        SELECT f.conv_id, f.segment_index, f.turn_idx, f.line_ord,
+               c.case_type, string_split(f.line, ' ') AS toks
+        FROM flagged f
+        JOIN hdr_case c USING (conv_id, segment_index)
+        WHERE f.line_ord > c.header_ord
+          AND NOT regexp_matches(lower(f.line), '{summary}')),
+    tails AS (
+        SELECT *,
+               CASE WHEN n >= 2 AND toks[n] IN ('CR', 'DR')
+                         AND regexp_matches(toks[n - 1], '{money}')
+                    THEN n - 1
+                    WHEN regexp_matches(toks[n], '{money}')
+                    THEN CASE WHEN n >= 2
+                                   AND regexp_matches(toks[n - 1], '{money}')
+                              THEN n - 1 ELSE n END
+                    END AS amt_idx
+        FROM (SELECT *, len(toks) AS n FROM data_lines) _
+        WHERE len(toks) >= 1),
+    tail_rows AS (
+        SELECT conv_id, segment_index, turn_idx, line_ord, case_type,
+               abs({tok_cents("toks[amt_idx]")}) AS amt_cents,
+               {tok_cents("toks[amt_idx]")} AS amt_signed,
+               (toks[amt_idx] LIKE '(%' OR toks[amt_idx] LIKE '-%'
+                OR toks[amt_idx] LIKE '%-'
+                OR toks[n] IN ('CR', 'DR')) AS signish,
+               CASE WHEN amt_idx = n - 1 AND toks[n] NOT IN ('CR', 'DR')
+                    THEN {tok_cents("toks[n]")} END AS bal_cents
+        FROM tails WHERE amt_idx IS NOT NULL),
+    -- case-2 exclusion: >30% signed amount tokens -> sign solver
+    seg_sign_ok AS (
+        SELECT conv_id, segment_index FROM tail_rows
+        GROUP BY 1, 2
+        HAVING AVG(CASE WHEN signish THEN 1.0 ELSE 0.0 END) <= 0.3),
+    -- W7 opening anchor: first post-header marker row's money token
+    opening AS (
+        SELECT m.conv_id, m.segment_index,
+               arg_min({tok_cents("m.money_tok")}, m.line_ord) AS opening_cents
+        FROM (
+            SELECT f.conv_id, f.segment_index, f.line_ord,
+                   string_split(f.line, ' ')[len(string_split(f.line, ' '))]
+                       AS money_tok
+            FROM flagged f
+            JOIN hdr_case c USING (conv_id, segment_index)
+            WHERE f.line_ord > c.header_ord
+              AND regexp_matches(lower(f.line), '{marker}')) m
+        WHERE regexp_matches(m.money_tok, '{money}')
+        GROUP BY 1, 2),
+    chain AS (
+        SELECT t.*,
+               coalesce(last_value(t.bal_cents IGNORE NULLS) OVER (
+                   PARTITION BY t.conv_id, t.segment_index
+                   ORDER BY t.line_ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   o.opening_cents) AS prev_cents
+        FROM tail_rows t
+        JOIN seg_sign_ok USING (conv_id, segment_index)
+        LEFT JOIN opening o USING (conv_id, segment_index)),
+    fitted AS (
+        SELECT *,
+               {ladder("abs(prev_cents - amt_cents - bal_cents)")} AS tol_d,
+               {ladder("abs(prev_cents + amt_cents - bal_cents)")} AS tol_c
+        FROM chain),
+    -- OCR digit-substitution rescue (solver._OCR_SUBSTITUTIONS): in a
+    -- decimal string only '7' (sub of 1) and '3' (sub of 8) match a
+    -- substitution list; candidates tested in position order, debit
+    -- hypothesis before credit, +/-1 hundredth.  Case-3 only — the
+    -- case-1 chain-validation pass has no OCR branch.
+    ocr_prep AS (
+        SELECT *,
+               (CASE WHEN bal_cents < 0 THEN '-' ELSE '' END)
+                 || CAST(abs(bal_cents) // 100 AS VARCHAR) || '.'
+                 || lpad(CAST(abs(bal_cents) % 100 AS VARCHAR), 2, '0') AS bs
+        FROM fitted),
+    ocr_cands AS (
+        SELECT *,
+               list_transform(
+                 list_filter(
+                   list_transform(range(1, len(bs) + 1),
+                                  p -> {{'p': p, 'c': bs[p]}}),
+                   x -> x.c IN ('7', '3')),
+                 x -> (CASE WHEN bs LIKE '-%' THEN -1 ELSE 1 END) *
+                      (CAST(regexp_extract(
+                         substr(bs, 1, x.p - 1)
+                           || (CASE x.c WHEN '7' THEN '1' ELSE '8' END)
+                           || substr(bs, x.p + 1), '(\d+)\.', 1)
+                         AS BIGINT) * 100
+                       + CAST(regexp_extract(
+                         substr(bs, 1, x.p - 1)
+                           || (CASE x.c WHEN '7' THEN '1' ELSE '8' END)
+                           || substr(bs, x.p + 1), '\.(\d\d)$', 1)
+                         AS BIGINT))) AS cand_cents
+        FROM ocr_prep),
+    ocr AS (
+        SELECT *,
+               CASE WHEN case_type = 'case3'
+                         AND tol_d IS NULL AND tol_c IS NULL
+                         AND prev_cents IS NOT NULL AND bal_cents IS NOT NULL
+                         AND first_hit IS NOT NULL
+                    THEN CASE WHEN abs(prev_cents - amt_cents - first_hit) <= 1
+                              THEN 'DEBIT' ELSE 'CREDIT' END
+                    END AS ocr_dir
+        FROM (SELECT *,
+                     list_filter(cand_cents,
+                       y -> abs(prev_cents - amt_cents - y) <= 1
+                         OR abs(prev_cents + amt_cents - y) <= 1)[1]
+                         AS first_hit
+              FROM ocr_cands)),
+    solved AS (
+        SELECT *,
+               CASE WHEN amt_cents IS NULL OR prev_cents IS NULL
+                         OR bal_cents IS NULL THEN 'UNKNOWN'
+                    WHEN tol_d IS NOT NULL AND tol_c IS NULL THEN 'DEBIT'
+                    WHEN tol_c IS NOT NULL AND tol_d IS NULL THEN 'CREDIT'
+                    WHEN tol_d IS NOT NULL AND tol_c IS NOT NULL
+                    THEN 'UNKNOWN'
+                    ELSE coalesce(ocr_dir, 'UNKNOWN') END AS sr_dir,
+               CASE WHEN tol_d IS NOT NULL AND tol_c IS NULL THEN tol_d
+                    WHEN tol_c IS NOT NULL AND tol_d IS NULL THEN tol_c
+                    WHEN tol_d IS NOT NULL AND tol_c IS NOT NULL
+                    THEN least(tol_d, tol_c)
+                    WHEN ocr_dir IS NOT NULL THEN 1
+                    ELSE 0 END AS sr_tol
+        FROM ocr),
+    final_rows AS (
+        SELECT conv_id, segment_index, turn_idx, line_ord,
+               amt_cents AS amount_cents, bal_cents AS balance_cents,
+               CASE WHEN case_type = 'case3' THEN
+                      CASE WHEN amt_signed = 0 THEN 'UNKNOWN'
+                           WHEN signish AND amt_signed < 0 THEN 'DEBIT'
+                           ELSE 'CREDIT' END
+                    WHEN sr_dir <> 'UNKNOWN' THEN sr_dir END AS direction,
+               CASE WHEN case_type = 'case3' THEN
+                      CASE WHEN amt_signed = 0 THEN 'single_amount_zero'
+                           WHEN signish AND amt_signed < 0 THEN 'sign_negative'
+                           ELSE 'sign_positive' END
+                    WHEN sr_dir <> 'UNKNOWN'
+                    THEN 'column_' || lower(sr_dir) END AS direction_source,
+               CASE WHEN case_type = 'case3' THEN
+                      CASE WHEN amt_signed = 0 THEN 5000
+                           WHEN signish AND amt_signed < 0 THEN 9500
+                           ELSE 9000 END
+                    WHEN sr_dir <> 'UNKNOWN' THEN 9500 END AS conf_bp,
+               (sr_dir <> 'UNKNOWN') AS balance_confirmed,
+               CAST(sr_tol AS BIGINT) AS tol_hundredths
+        FROM solved)
+    SELECT conv_id, segment_index,
+           CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, segment_index
+                                   ORDER BY line_ord) - 1 AS INT) AS seq,
+           CAST(turn_idx AS INT) AS turn_idx,
+           amount_cents, balance_cents, direction, direction_source,
+           conf_bp, balance_confirmed, tol_hundredths
+    FROM final_rows
+    """
+
+
 def _headered_segments(turns: DataFrame) -> DataFrame:
     """(conv_id, segment_index) whose first 10 lines contain a header
     line (>=2 HEADER_KEYWORDS) — the detect_header_line data rule
@@ -1721,6 +1937,139 @@ def transcripts_records_amounts(spark, sf_dir):
                     (F.row_number().over(w) - 1).cast("int").alias("seq"),
                     "turn_idx", "posted_date",
                     (F.col("amount") * 100).cast("long").alias("amount_cents")))
+
+
+_MONEY_TOKEN_RE = ("^\\(?-?[" + chr(163) + chr(36) + chr(8364)
+                   + r"]?(?:\d{1,3}(?:,\d{3})+|\d+)\.\d{2}\)?-?$")
+
+
+def _solver_case_segments(spark: SparkSession, turns: DataFrame) -> DataFrame:
+    """(conv_id, segment_index, case_type) for headered main-route
+    segments the solver routes to case 1 (separate debit/credit
+    columns) or case 3 (single amount + balance), re-derived natively
+    from the same line-level data properties the SQL oracle uses, so
+    both engines select the identical segment set by construction
+    (the _headered_segments pattern).
+
+    Corpus-safe simplifications (documented like the delim oracle's):
+    the header's role keywords are matched on the whole header line
+    (the kernel's match_header walks per-cell with precedence — they
+    diverge only for header shapes mixing one role's keyword inside
+    another cell's text, absent from the corpus), and the short 'dr' /
+    'cr' keywords are omitted ('description' contains 'cr').  The
+    case-2 exclusion (>=30% sign-convention amounts route to the sign
+    solver, balance_solver.py:82) is applied over the post-header
+    money-tail rows' amount tokens — the line-level proxy for
+    rows_have_sign_convention's amount_raw scan.
+    """
+    from .kernels.patterns import (
+        BALANCE_MARKER_RLIKE,
+        HEADER_KEYWORDS,
+        SUMMARY_ROW_RLIKE,
+    )
+    boiler = f"(?:{BALANCE_MARKER_RLIKE})|(?:{SUMMARY_ROW_RLIKE})"
+
+    lines = (turns.select(
+        "conv_id", "segment_index", "turn_idx",
+        F.posexplode(F.filter(
+            F.transform(F.split(F.coalesce("raw_text", F.lit("")), "\n"),
+                        lambda l: F.trim(F.regexp_replace(l, r"\s+", " "))),
+            lambda l: l != "")).alias("pos", "line")))
+    w = Window.partitionBy("conv_id", "segment_index").orderBy("turn_idx", "pos")
+    lines = lines.withColumn("_ord", F.row_number().over(w))
+
+    low = F.lower("line")
+    kw_count = None
+    for kw in sorted(HEADER_KEYWORDS):
+        term = low.contains(kw).cast("int")
+        kw_count = term if kw_count is None else kw_count + term
+    hdr = (lines.where((F.col("_ord") <= 10) & (kw_count >= 2))
+           .groupBy("conv_id", "segment_index")
+           .agg(F.lower(F.min_by("line", "_ord")).alias("hl"),
+                F.min("_ord").alias("header_ord")))
+
+    hl = F.col("hl")
+    deb = (hl.contains("debit") | hl.contains("paid out")
+           | hl.contains("money out") | hl.contains("withdrawal")
+           | hl.contains("payments"))
+    cred = (hl.contains("credit") | hl.contains("paid in")
+            | hl.contains("money in") | hl.contains("deposit")
+            | hl.contains("receipts"))
+    bal = hl.contains("balance") | hl.contains("running") | hl.contains("closing")
+    amt = hl.contains("amount")
+    cases = (hdr.select(
+        "conv_id", "segment_index", "header_ord",
+        F.when(deb & cred & bal, F.lit("case1"))
+         .when(amt & bal & ~(deb | cred), F.lit("case3")).alias("case_type"))
+        .where(F.col("case_type").isNotNull()))
+
+    # case-2 exclusion: signed amount tokens on >30% of money-tail rows
+    data = (lines.join(cases, ["conv_id", "segment_index"])
+            .where(F.col("_ord") > F.col("header_ord"))
+            .where(~low.rlike(boiler)))
+    toks = F.split("line", " ")
+    n = F.size(toks)
+    last = F.element_at(toks, -1)
+    last2 = F.when(n >= 2, F.try_element_at(toks, F.lit(-2)))
+    is_money_last = last.rlike(_MONEY_TOKEN_RE)
+    is_money_last2 = F.coalesce(last2.rlike(_MONEY_TOKEN_RE), F.lit(False))
+    amt_tok = (F.when((n >= 2) & last.isin("CR", "DR") & is_money_last2, last2)
+               .when(is_money_last & is_money_last2, last2)
+               .when(is_money_last, last))
+    signish = (amt_tok.startswith("(") | amt_tok.startswith("-")
+               | amt_tok.endswith("-") | last.isin("CR", "DR"))
+    frac = (data.select("conv_id", "segment_index", "case_type",
+                        amt_tok.alias("amt_tok"), signish.alias("signish"))
+            .where(F.col("amt_tok").isNotNull())
+            .groupBy("conv_id", "segment_index", "case_type")
+            .agg(F.avg(F.col("signish").cast("int")).alias("sign_frac"))
+            .where(F.col("sign_frac") <= 0.3))
+    main = _mainroute_segments(spark, turns)
+    return frac.join(main, ["conv_id", "segment_index"]) \
+               .select("conv_id", "segment_index", "case_type")
+
+
+@register("transcripts_records_directions", None)  # SQL attached below
+def transcripts_records_directions(spark, sf_dir):
+    """W4/W6 balance-chain solver oracle (balance_solver.py:172-245,
+    390-430 parity surface): on the case-1/case-3 headered main-route
+    slice, the chain state is lag(reported balance) because the solver
+    re-anchors on every reported balance (`current <- reported`), so
+    direction fit, balance_confirmed, the tolerance ladder and the OCR
+    digit-substitution rescue are all row-local given that lag — the
+    SQL side re-derives them from the snapshot.  Chain discontinuities
+    (the corpus' wiped turns) produce unconfirmed rows on both sides.
+
+    Column semantics (orchestrator.py:617-624 merge rule): direction /
+    source / confidence come from the field projection (sign or
+    debit-credit column) since the solver only fills UNKNOWN rows; on
+    case-1 rows the column choice is geometry the line-level oracle
+    cannot see, so direction is compared only where the chain confirms
+    it (balance_confirmed) — an engine that puts the amount in the
+    wrong column fails the chain fit and therefore the hash.
+    """
+    out = _pipeline_outputs(spark, sf_dir)
+    rec = out["records"]
+    cases = _solver_case_segments(spark, out["turns"])
+    w = Window.partitionBy("conv_id", "segment_index").orderBy("row_index")
+    r = (rec.where((~F.col("direction_source").isin(_FALLBACK_SOURCES))
+                   & F.col("amount").isNotNull())
+         .join(cases, ["conv_id", "segment_index"]))
+    is_case3 = F.col("case_type") == "case3"
+    checked = is_case3 | F.col("balance_confirmed")
+    return r.select(
+        "conv_id", "segment_index",
+        (F.row_number().over(w) - 1).cast("int").alias("seq"),
+        "turn_idx",
+        (F.col("amount") * 100).cast("long").alias("amount_cents"),
+        (F.col("running_balance") * 100).cast("long").alias("balance_cents"),
+        F.when(checked, F.col("direction")).alias("direction"),
+        F.when(checked, F.col("direction_source")).alias("direction_source"),
+        F.when(checked, (F.col("confidence_direction") * 10000).cast("long"))
+         .alias("conf_bp"),
+        "balance_confirmed",
+        (F.col("balance_tolerance_used") * 100).cast("long")
+        .alias("tol_hundredths"))
 
 
 @register("transcripts_records_pattern", None)  # SQL attached below
@@ -1926,6 +2275,11 @@ def _attach_turns_sql() -> None:
     _REGISTRY["transcripts_records_amounts"] = (fn, f"""
     WITH {view},
     {_records_amounts_sql()}
+""")
+    fn, _ = _REGISTRY["transcripts_records_directions"]
+    _REGISTRY["transcripts_records_directions"] = (fn, f"""
+    WITH {view},
+    {_records_directions_sql()}
 """)
     fn, _ = _REGISTRY["transcripts_segments_balances"]
     _REGISTRY["transcripts_segments_balances"] = (fn, f"""

@@ -361,10 +361,17 @@ def _split_columns_by_header(columns: list[dict], header_line: dict) -> list[dic
             continue
         # >=2 amount headers in one window prove under-splitting:
         # split by EVERY header word-group so non-amount sub-headers
-        # (date/description) keep their regions too
+        # (date/description) keep their regions too.  The first
+        # sub-column extends to the leftmost of the window start and
+        # its header group's left edge: when the histogram missed the
+        # sparse columns entirely, the header groups sit LEFT of the
+        # detected window, and clamping to the window start would
+        # produce an inverted (x_start > x_end) sub-column whose role
+        # map silently drops the credit column (found by the
+        # balance-chain directions oracle).
         for k, g in enumerate(groups):
-            x_start = col["x_start"] if k == 0 else (groups[k - 1][-1]["x1"]
-                                                     + g[0]["x0"]) / 2.0
+            x_start = (min(col["x_start"], g[0]["x0"]) if k == 0
+                       else (groups[k - 1][-1]["x1"] + g[0]["x0"]) / 2.0)
             if k + 1 < len(groups):
                 x_end = (g[-1]["x1"] + groups[k + 1][0]["x0"]) / 2.0
             else:
