@@ -162,6 +162,31 @@ def test_pass25_keeps_two_amounts_without_chain_evidence():
     assert roles[2] == "SINGLE_AMOUNT"
 
 
+def test_pass245_lone_stats_balance_demoted():
+    """A stats-assigned BALANCE with no amount column routes the
+    solver nowhere and drops every amount — demote to SINGLE_AMOUNT.
+    Monotone-looking signed amounts (mostly debits) can clear the
+    sign-change threshold by chance."""
+    rows = [
+        _role_row("02/01/2024", "-50.00"),
+        _role_row("03/01/2024", "-60.00"),
+        _role_row("04/01/2024", "-75.00"),
+        _role_row("05/01/2024", "-80.00"),
+        _role_row("06/01/2024", "-95.00"),
+    ]
+    cols = [dict(c) for c in _ROLE_COLS[:2]]
+    roles = assign_column_roles(cols, None, rows)
+    assert roles[1] == "SINGLE_AMOUNT"
+
+
+def test_header_assigned_balance_not_demoted():
+    """Header-assigned BALANCE stays even when no amount column maps
+    (reference pass-1 semantics)."""
+    cols = [dict(c) for c in _ROLE_COLS[:2]]
+    roles = assign_column_roles(cols, ["Date", "Balance"], [])
+    assert roles[1] == "BALANCE"
+
+
 def test_pass25_magnitude_fallback_on_short_segments():
     """With <2 comparable delta pairs the gate falls back to the
     magnitude test: a dominating right column still promotes."""

@@ -1571,6 +1571,133 @@ _FALLBACK_SOURCES = ["text_grid_table", "delim_table", "row_pattern",
                      "delim_table_rescue", "row_pattern_rescue"]
 
 
+def _records_headerless_sql() -> str:
+    """Generated oracle for the headerless main-path branch (see the
+    engine-side docstring): all lines participate (no header strip),
+    rows are money-tail lines, amount is the first tail token
+    (signed: parens / leading/trailing minus / CR-DR suffix), balance
+    the second, date the grow-while-the-parse-changes leading tokens —
+    restricted to uniform-tail segments where role statistics are
+    value-determined."""
+    from .kernels.patterns import BALANCE_MARKER_RLIKE, SUMMARY_ROW_RLIKE
+    summary = _sql_regex(f"(?:{BALANCE_MARKER_RLIKE})|(?:{SUMMARY_ROW_RLIKE})")
+    money = (r"^\(?-?[" + chr(163) + chr(36) + chr(8364)
+             + r"]?(?:\d{1,3}(?:,\d{3})+|\d+)\.\d{2}\)?-?$")
+
+    def tok_cents(expr: str) -> str:
+        return rf"""(CASE WHEN {expr} LIKE '(%' OR {expr} LIKE '-%'
+                          OR {expr} LIKE '%-' THEN -1 ELSE 1 END)
+             * (CAST(replace(regexp_extract({expr}, '(\d[\d,]*)\.', 1),
+                             ',', '') AS BIGINT) * 100
+                + CAST(regexp_extract({expr}, '\.(\d{{2}})', 1) AS BIGINT))"""
+
+    def try_date(expr: str) -> str:
+        return f"""COALESCE(
+            CAST(try_strptime({expr}, '%d/%m/%Y') AS DATE),
+            CAST(try_strptime({expr}, '%d %b %Y') AS DATE),
+            CAST(try_strptime({expr}, '%d/%m/%y') AS DATE),
+            CAST(try_strptime({expr}, '%Y-%m-%d') AS DATE),
+            CAST(try_strptime({expr}, '%d %B %Y') AS DATE),
+            CAST(try_strptime({expr}, '%d%b%y') AS DATE))"""
+
+    def pivot(expr: str) -> str:
+        return f"""CASE WHEN year({expr}) < 100
+            THEN make_date(CASE WHEN year({expr}) % 100 > 50
+                                THEN 1900 + year({expr}) % 100
+                                ELSE 2000 + year({expr}) % 100 END,
+                           month({expr}), day({expr}))
+            ELSE {expr} END"""
+
+    return rf"""{_mainslice_ctes()},
+    -- uniform-tail rule on RAW lines (fixed-width ends), excluding
+    -- marker/summary lines like the engine-side helper
+    tail_ends AS (
+        SELECT r.conv_id, r.segment_index,
+               COUNT(DISTINCT CASE WHEN
+                   regexp_matches(toks[len(toks)], '{money}')
+                   AND len(toks) >= 2
+                   AND regexp_matches(toks[len(toks) - 1], '{money}')
+                 THEN len(rtrim(regexp_replace(r.raw_line, '\s*\S+\s*$', '')))
+                 END) AS n_ends,
+               SUM(CASE WHEN regexp_matches(toks[len(toks)], '{money}')
+                        THEN 1 ELSE 0 END) AS n_tail
+        FROM (SELECT conv_id, segment_index, raw_line,
+                     string_split(trim(regexp_replace(raw_line, '\s+', ' ', 'g')),
+                                  ' ') AS toks
+              FROM raw_lines
+              WHERE NOT regexp_matches(
+                  lower(trim(regexp_replace(raw_line, '\s+', ' ', 'g'))),
+                  '{summary}')) r
+        GROUP BY 1, 2),
+    -- n_tail >= 12: the histogram peak-height floor (see the
+    -- engine-side helper's size-floor note)
+    hl_slice AS (
+        SELECT s.conv_id, s.segment_index
+        FROM seg_ok s
+        JOIN tail_ends e USING (conv_id, segment_index)
+        LEFT JOIN headered h USING (conv_id, segment_index)
+        WHERE h.conv_id IS NULL AND e.n_ends <= 1 AND e.n_tail >= 12),
+    rows_in AS (
+        SELECT f.conv_id, f.segment_index, f.turn_idx, f.line_ord,
+               string_split(f.line, ' ') AS toks
+        FROM flagged f
+        JOIN hl_slice USING (conv_id, segment_index)
+        WHERE NOT regexp_matches(lower(f.line), '{summary}')),
+    tails AS (
+        SELECT *,
+               CASE WHEN n >= 2 AND toks[n] IN ('CR', 'DR')
+                         AND regexp_matches(toks[n - 1], '{money}')
+                    THEN n - 1
+                    WHEN regexp_matches(toks[n], '{money}')
+                    THEN CASE WHEN n >= 2
+                                   AND regexp_matches(toks[n - 1], '{money}')
+                              THEN n - 1 ELSE n END
+                    END AS amt_idx
+        FROM (SELECT *, len(toks) AS n FROM rows_in) _
+        WHERE len(toks) >= 1),
+    dated AS (
+        SELECT *,
+               CASE WHEN amt_idx > 1
+                    THEN {pivot(try_date("toks[1]"))} END AS p1,
+               CASE WHEN amt_idx > 2
+                    THEN {pivot(try_date("array_to_string(list_slice(toks, 1, 2), ' ')"))}
+                    END AS p2,
+               CASE WHEN amt_idx > 3
+                    THEN {pivot(try_date("array_to_string(list_slice(toks, 1, 3), ' ')"))}
+                    END AS p3
+        FROM tails WHERE amt_idx IS NOT NULL),
+    recs AS (
+        SELECT conv_id, segment_index, turn_idx, line_ord,
+               CASE WHEN p1 IS NOT NULL AND (p2 IS NULL OR p2 = p1) THEN p1
+                    WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p2 <> p1
+                         AND (p3 IS NULL OR p3 = p2) THEN p2
+                    WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p2 <> p1
+                         THEN coalesce(p3, p2)
+                    WHEN p1 IS NULL AND p2 IS NOT NULL
+                         AND (p3 IS NULL OR p3 = p2) THEN p2
+                    WHEN p1 IS NULL AND p2 IS NOT NULL THEN coalesce(p3, p2)
+                    ELSE p3 END AS posted_date,
+               abs({tok_cents("toks[amt_idx]")}) AS amount_cents,
+               ({tok_cents("toks[amt_idx]")} < 0
+                OR (amt_idx = n - 1 AND toks[n] = 'DR')) AS is_neg,
+               {tok_cents("toks[amt_idx]")} = 0 AS is_zero,
+               CASE WHEN amt_idx = n - 1 AND toks[n] NOT IN ('CR', 'DR')
+                    THEN {tok_cents("toks[n]")} END AS balance_cents
+        FROM dated)
+    SELECT conv_id, segment_index,
+           CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, segment_index
+                                   ORDER BY line_ord) - 1 AS INT) AS seq,
+           CAST(turn_idx AS INT) AS turn_idx,
+           posted_date, amount_cents, balance_cents,
+           CASE WHEN is_zero THEN 'UNKNOWN'
+                WHEN is_neg THEN 'DEBIT' ELSE 'CREDIT' END AS direction,
+           CASE WHEN is_zero THEN 'single_amount_zero'
+                WHEN is_neg THEN 'sign_negative'
+                ELSE 'sign_positive' END AS direction_source
+    FROM recs
+    """
+
+
 def _records_directions_sql() -> str:
     """Generated oracle for the balance-chain solver columns on the
     case-1/case-3 headered main-route slice (see the engine-side
@@ -2029,6 +2156,95 @@ def _solver_case_segments(spark: SparkSession, turns: DataFrame) -> DataFrame:
                .select("conv_id", "segment_index", "case_type")
 
 
+def _headerless_uniform_segments(spark: SparkSession,
+                                 turns: DataFrame) -> DataFrame:
+    """(conv_id, segment_index) of main-route segments WITHOUT a
+    header line whose two-money-token rows share ONE amount-token end
+    column in the raw text — the line-level-predictable complement of
+    _headered_segments.
+
+    The excluded class (non-uniform ends) is the sparse separate
+    debit/credit layout: with no header evidence the histogram merges
+    the sparse columns and role statistics may drop one of them —
+    engine output there is geometry-dependent, which a line-level
+    oracle must not pretend to predict.  Uniform ends mean one amount
+    column (single-amount layouts, with or without a balance), where
+    the stats passes assign roles deterministically from the values
+    themselves.  Computed from the snapshot's RAW lines (fixed-width
+    column ends vanish after whitespace normalization).
+    """
+    from .kernels.patterns import BALANCE_MARKER_RLIKE, SUMMARY_ROW_RLIKE
+    boiler = f"(?:{BALANCE_MARKER_RLIKE})|(?:{SUMMARY_ROW_RLIKE})"
+
+    snap = spark.read.parquet(TRANSCRIPTS_SNAPSHOT)
+    payload = F.when((F.col("text").isNotNull()) & (F.col("text") != ""),
+                     F.col("text")) \
+               .when((F.col("tool").isNotNull()) & (F.col("tool") != ""),
+                     F.col("tool")).otherwise(F.lit(""))
+    lines = (snap.select("conv_id", "turn_idx", payload.alias("payload"))
+             .join(turns.select("conv_id", "turn_idx", "segment_index"),
+                   ["conv_id", "turn_idx"])
+             .select("conv_id", "segment_index",
+                     F.explode(F.filter(
+                         F.split("payload", "\n"),
+                         lambda l: F.trim(F.regexp_replace(l, r"\s+", " ")) != ""))
+                     .alias("raw")))
+    norm = F.trim(F.regexp_replace("raw", r"\s+", " "))
+    lines = lines.withColumn("norm", norm) \
+                 .where(~F.lower("norm").rlike(boiler))
+    toks = F.split("norm", " ")
+    n = F.size(toks)
+    last = F.element_at(toks, -1)
+    last2 = F.when(n >= 2, F.try_element_at(toks, F.lit(-2)))
+    two_tail = (last.rlike(_MONEY_TOKEN_RE)
+                & F.coalesce(last2.rlike(_MONEY_TOKEN_RE), F.lit(False)))
+    amt_end = F.length(F.rtrim(F.regexp_replace("raw", r"\s*\S+\s*$", "")))
+    # size floor: the column histogram needs each x-cluster's smoothed
+    # peak to clear the absolute height floor 2.0; a single-bin cluster
+    # of k starts peaks at k * 0.266 (gaussian sigma=1.5), so k >= 8 is
+    # the theoretical minimum and right-justified amounts split their
+    # cluster across adjacent bins — require >= 12 money-tail rows so
+    # the slice only contains segments where detection is guaranteed
+    # by the data (columns.py:21-25 constants; corpus margin: the
+    # largest failing segment has 7, the smallest succeeding 13)
+    any_tail = last.rlike(_MONEY_TOKEN_RE)
+    ends = (lines.withColumn("amt_end", F.when(two_tail, amt_end))
+            .withColumn("is_tail", any_tail.cast("int"))
+            .groupBy("conv_id", "segment_index")
+            .agg(F.countDistinct("amt_end").alias("n_ends"),
+                 F.sum("is_tail").alias("n_tail"))
+            .where((F.col("n_ends") <= 1) & (F.col("n_tail") >= 12))
+            .select("conv_id", "segment_index"))
+    main = _mainroute_segments(spark, turns)
+    headered = _headered_segments(turns)
+    return (ends.join(main, ["conv_id", "segment_index"])
+            .join(headered, ["conv_id", "segment_index"], "left_anti"))
+
+
+@register("transcripts_records_headerless", None)  # SQL attached below
+def transcripts_records_headerless(spark, sf_dir):
+    """Headerless-branch records oracle (the complement of
+    transcripts_records_amounts): amount-bearing main-path records on
+    headerless uniform-tail segments, where the stats passes
+    (semantic_mapper.py:167-281 analogue) assign roles from values —
+    order, turn, date, exact cents, balance, sign direction all
+    re-derived line-level in SQL."""
+    out = _pipeline_outputs(spark, sf_dir)
+    rec = out["records"]
+    seg_slice = _headerless_uniform_segments(spark, out["turns"])
+    w = Window.partitionBy("conv_id", "segment_index").orderBy("row_index")
+    return (rec.where((~F.col("direction_source").isin(_FALLBACK_SOURCES))
+                      & F.col("amount").isNotNull())
+            .join(seg_slice, ["conv_id", "segment_index"])
+            .select("conv_id", "segment_index",
+                    (F.row_number().over(w) - 1).cast("int").alias("seq"),
+                    "turn_idx", "posted_date",
+                    (F.col("amount") * 100).cast("long").alias("amount_cents"),
+                    (F.col("running_balance") * 100).cast("long")
+                    .alias("balance_cents"),
+                    "direction", "direction_source"))
+
+
 @register("transcripts_records_directions", None)  # SQL attached below
 def transcripts_records_directions(spark, sf_dir):
     """W4/W6 balance-chain solver oracle (balance_solver.py:172-245,
@@ -2280,6 +2496,11 @@ def _attach_turns_sql() -> None:
     _REGISTRY["transcripts_records_directions"] = (fn, f"""
     WITH {view},
     {_records_directions_sql()}
+""")
+    fn, _ = _REGISTRY["transcripts_records_headerless"]
+    _REGISTRY["transcripts_records_headerless"] = (fn, f"""
+    WITH {view},
+    {_records_headerless_sql()}
 """)
     fn, _ = _REGISTRY["transcripts_segments_balances"]
     _REGISTRY["transcripts_segments_balances"] = (fn, f"""

@@ -223,6 +223,7 @@ def assign_column_roles(columns: list[dict],
                 if role == ROLE_DATE and ROLE_DATE in roles.values():
                     role = ROLE_VALUE_DATE
                 roles[i] = role
+    _header_roles = set(roles)  # columns whose role came from a header
 
     # pass 2: statistics for unassigned columns (one vectorized pass)
     all_stats = (column_stats(sample_rows, columns)
@@ -254,6 +255,22 @@ def assign_column_roles(columns: list[dict],
             roles[i] = ROLE_REFERENCE
         else:
             roles[i] = ROLE_UNKNOWN
+
+    # pass 2.45: a STATS-assigned BALANCE with no amount column at all
+    # is a misread — a running balance only exists relative to a
+    # transaction amount column, and leaving it lone routes the solver
+    # to the no-strategy case and drops every amount in the segment
+    # (observed: sign-mixed single-amount columns can clear the
+    # sign-change threshold by chance).  Demote it to SINGLE_AMOUNT.
+    # Header-assigned BALANCE is never touched (reference pass-1
+    # semantics, semantic_mapper.py:131).
+    stats_balance = [i for i, r in roles.items()
+                     if r == ROLE_BALANCE and i not in _header_roles]
+    if stats_balance and not any(
+            r in (ROLE_DEBIT, ROLE_CREDIT, ROLE_SINGLE_AMOUNT)
+            for r in roles.values()):
+        for i in stats_balance:
+            roles[i] = ROLE_SINGLE_AMOUNT
 
     # pass 2.5: two amount columns with no BALANCE — the rightmost is
     # the running balance, IF its values actually chain like one
