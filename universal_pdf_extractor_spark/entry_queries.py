@@ -1120,6 +1120,48 @@ def _records_delim_sql() -> str:
     column order), and amounts are plain/comma-grouped with optional
     leading minus (the delim corpus renders no parens/CR/DR forms).
     """
+    return rf"""
+    {_delim_ctes_body()}
+    SELECT conv_id, segment_index,
+           CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, segment_index
+                                   ORDER BY line_ord) - 1 AS INT) AS row_index,
+           CAST(turn_idx AS INT) AS turn_idx,
+           posted_date, description_raw, amount_cents, balance_cents, direction
+    FROM recs
+    """
+
+
+def _delim_geometry_sql() -> str:
+    """Per-segment delim-tier geometry (detected_tables diagnostics
+    re-derivation): column_count = cells of the header line,
+    header_row = the header's 0-based rank among the segment's
+    delimiter-bearing lines (the engine's grid-local data_start - 1,
+    segment_extract._fallback_delim_records)."""
+    return rf"""
+    {_delim_ctes_body()}
+    SELECT h.conv_id, h.segment_index,
+           CAST(len(m.cells) AS INT) AS column_count,
+           CAST((SELECT COUNT(*) FROM delim_lines d
+                 WHERE d.conv_id = h.conv_id
+                   AND d.segment_index = h.segment_index
+                   AND d.line_ord < h.header_ord) AS INT) AS header_row
+    FROM header h
+    JOIN mapped m ON m.conv_id = h.conv_id
+                 AND m.segment_index = h.segment_index
+                 AND m.line_ord = h.header_ord
+    """
+
+
+def _delim_ctes_body() -> str:
+    """Shared delim-tier CTE chain (through `recs`): lines, delimiter
+    cells, routing rule, keyword header mapping, field projection —
+    reused by the records oracle and the routing-geometry oracle.
+
+    line_ord packs (turn_idx, line_no) into one ordinal assuming
+    < 100000 non-empty lines per turn — a corpus bound far above the
+    payload sizes the generator emits (<= a few hundred); a turn
+    exceeding it would alias into the next turn's ordinal space.
+    """
     from .kernels.patterns import BALANCE_MARKER_RLIKE, SUMMARY_ROW_RLIKE
     summary = _sql_regex(f"(?:{BALANCE_MARKER_RLIKE})|(?:{SUMMARY_ROW_RLIKE})")
 
@@ -1145,10 +1187,6 @@ def _records_delim_sql() -> str:
             CAST(try_strptime(date_raw, '%d %B %Y') AS DATE),
             CAST(try_strptime(date_raw, '%d%b%y') AS DATE))"""
 
-    # line_ord packs (turn_idx, line_no) into one ordinal assuming
-    # < 100000 non-empty lines per turn — a corpus bound far above the
-    # payload sizes the generator emits (<= a few hundred); a turn
-    # exceeding it would alias into the next turn's ordinal space
     return rf"""
     seg_lines AS (
         SELECT s.conv_id, s.segment_index, s.turn_idx,
@@ -1249,12 +1287,6 @@ def _records_delim_sql() -> str:
         WHERE coalesce(credit_cents, debit_cents, single_cents) IS NOT NULL
           AND NOT regexp_matches(lower(trim(descr)), '{summary}')
           AND NOT regexp_matches(row_lower, '{summary}'))
-    SELECT conv_id, segment_index,
-           CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, segment_index
-                                   ORDER BY line_ord) - 1 AS INT) AS row_index,
-           CAST(turn_idx AS INT) AS turn_idx,
-           posted_date, description_raw, amount_cents, balance_cents, direction
-    FROM recs
     """
 
 
@@ -1406,12 +1438,32 @@ def _records_pattern_sql() -> str:
         FROM projected
         WHERE NOT regexp_matches(lower(trim(descr)), '{summary}')
           AND NOT regexp_matches(lower(line), '{summary}'))
+    """
+
+
+def _records_pattern_select() -> str:
+    return """
     SELECT conv_id, segment_index,
            CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, segment_index
                                    ORDER BY line_ord) - 1 AS INT) AS row_index,
            CAST(turn_idx AS INT) AS turn_idx,
            posted_date, description_raw, amount_cents, balance_cents, direction
     FROM recs
+    """
+
+
+def _pattern_geometry_sql() -> str:
+    """Per-segment pattern-tier geometry: header_row = the header
+    line's 0-based kept-line index WITHIN ITS TURN (the engine records
+    tokenize_turn's per-turn line_index,
+    segment_extract._fallback_pattern_records); column_count is NULL
+    for this tier (no cell structure)."""
+    return rf"""
+    {_records_pattern_sql()}
+    SELECT conv_id, segment_index,
+           CAST(NULL AS INT) AS column_count,
+           CAST(header_ord % 100000 - 1 AS INT) AS header_row
+    FROM header
     """
 
 
@@ -2486,6 +2538,7 @@ def _attach_turns_sql() -> None:
     _REGISTRY["transcripts_records_pattern"] = (fn, f"""
     WITH {view},
     {_records_pattern_sql()}
+    {_records_pattern_select()}
 """)
     fn, _ = _REGISTRY["transcripts_records_amounts"]
     _REGISTRY["transcripts_records_amounts"] = (fn, f"""
@@ -2510,17 +2563,22 @@ def _attach_turns_sql() -> None:
     fn, _ = _REGISTRY["transcripts_detected_tables_routing"]
     _REGISTRY["transcripts_detected_tables_routing"] = (fn, f"""
     WITH {view}
-    SELECT conv_id, segment_index, 'delim_grid' AS engine,
-           'TRANSACTION_TABLE' AS table_type,
-           CAST(COUNT(*) AS INT) AS row_count
-    FROM (WITH {_records_delim_sql()})
-    GROUP BY 1, 2
+    SELECT c.conv_id, c.segment_index, 'delim_grid' AS engine,
+           'TRANSACTION_TABLE' AS table_type, c.row_count,
+           g.column_count, g.header_row
+    FROM (SELECT conv_id, segment_index, CAST(COUNT(*) AS INT) AS row_count
+          FROM (WITH {_records_delim_sql()})
+          GROUP BY 1, 2) c
+    JOIN (WITH {_delim_geometry_sql()}) g USING (conv_id, segment_index)
     UNION ALL
-    SELECT conv_id, segment_index, 'row_pattern' AS engine,
-           'TRANSACTION_TABLE' AS table_type,
-           CAST(COUNT(*) AS INT) AS row_count
-    FROM (WITH {_records_pattern_sql()})
-    GROUP BY 1, 2
+    SELECT c.conv_id, c.segment_index, 'row_pattern' AS engine,
+           'TRANSACTION_TABLE' AS table_type, c.row_count,
+           g.column_count, g.header_row
+    FROM (SELECT conv_id, segment_index, CAST(COUNT(*) AS INT) AS row_count
+          FROM (WITH {_records_pattern_sql()}
+                {_records_pattern_select()})
+          GROUP BY 1, 2) c
+    JOIN (WITH {_pattern_geometry_sql()}) g USING (conv_id, segment_index)
 """)
 
 
@@ -2560,7 +2618,9 @@ def transcripts_detected_tables_routing(spark, sf_dir):
     diag = _pipeline_outputs(spark, sf_dir)["detected_tables"]
     return (diag.where(F.col("engine").isin("delim_grid", "row_pattern"))
             .select("conv_id", "segment_index", "engine", "table_type",
-                    "row_count"))
+                    "row_count", "column_count",
+                    F.get_json_object("header_json", "$.line_index")
+                    .cast("int").alias("header_row")))
 
 
 @register("transcripts_detected_tables", None)
