@@ -34,11 +34,10 @@ check.  The remaining no-oracle entries, each with its reason:
 - multimodal_features: payloads are Spark-generated binaries with no
   DuckDB-side source, and the decode step is a documented stub.
 - transcripts_detected_tables: the histogram/peak column geometry it
-  reports IS the non-relational kernel; the per-engine routing and
-  row counts are pinned by tests/test_fallback_tiers.py.
-- transcripts_token_ir: token bboxes need per-match regex character
-  offsets, which DuckDB's regex surface cannot produce.  The token
-  contract (ordering, offsets, geometry) is pinned by test_layout.
+  reports IS the non-relational kernel; the per-engine routing, row
+  counts and structured-tier geometry (column_count/header_row) are
+  hash-checked by transcripts_detected_tables_routing, the rest
+  pinned by tests/test_fallback_tiers.py.
 """
 
 from __future__ import annotations
@@ -883,12 +882,90 @@ def multimodal_features(spark, sf_dir):
     return extract_features(synthetic_media(spark, n=256))
 
 
-@register("transcripts_token_ir", None)
+@register("transcripts_token_ir", None)  # SQL attached below
 def transcripts_token_ir(spark, sf_dir):
-    """Exploded token-IR diagnostics surface (contracts.py:20-26)."""
+    """Exploded token-IR diagnostics surface (contracts.py:20-26),
+    oracle-checked: the whitespace tokenizer's char offsets are
+    prefix-sum arithmetic over space-split parts (split(' ') keeps
+    empties, so every part boundary is exactly one space — a
+    corpus-safe simplification: the generator emits no tabs or other
+    non-space whitespace, which \\S+ would treat as separators too),
+    and the synthetic bbox geometry (layout.py coordinate tables) is
+    affine in (char col / page width, raw line index).  Coordinates
+    and confidence are compared as exact integer micro/bp units (the
+    cross-engine float-stringify rule)."""
     from .stages.tokenize import tokens_table
-    transcripts = transcripts_sdf(spark, 200)
-    return tokens_table(transcripts)
+    t = tokens_table(_ensure_snapshot(spark, sf_dir))
+    return t.select(
+        "conv_id", "turn_idx", "token_index", "text",
+        F.round(F.col("x0") * 1e6).cast("long").alias("x0_micro"),
+        F.round(F.col("y0") * 1e6).cast("long").alias("y0_micro"),
+        F.round(F.col("x1") * 1e6).cast("long").alias("x1_micro"),
+        F.round(F.col("y1") * 1e6).cast("long").alias("y1_micro"),
+        F.round(F.col("confidence") * 10000).cast("long").alias("conf_bp"),
+        "start", "end")
+
+
+def _token_ir_sql() -> str:
+    """Generated oracle for the token IR (see transcripts_token_ir):
+    line offsets and token columns re-derived as prefix sums, x from
+    char-col/width (width = max(100, longest raw line)), y from the
+    raw line index, exact integer outputs."""
+    return rf"""
+    WITH turns_tok AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN text IS NOT NULL AND text <> '' THEN text
+                    WHEN tool IS NOT NULL AND tool <> '' THEN tool
+                    ELSE '' END AS payload,
+               CASE WHEN text IS NOT NULL AND text <> '' THEN 9500
+                    ELSE 8800 END AS conf_bp
+        FROM read_parquet('{TRANSCRIPTS_SNAPSHOT}/*.parquet')
+        WHERE (text IS NOT NULL AND text <> '')
+           OR (tool IS NOT NULL AND tool <> '')),
+    widths AS (
+        SELECT *, string_split(payload, chr(10)) AS ls,
+               greatest(100.0, CAST(list_max(list_transform(
+                   string_split(payload, chr(10)), l -> len(l))) AS DOUBLE))
+                   AS width
+        FROM turns_tok),
+    lines AS (
+        SELECT conv_id, turn_idx, conf_bp, width, ls,
+               unnest(ls) AS line,
+               unnest(range(1, len(ls) + 1)) AS li
+        FROM widths),
+    line_off AS (
+        SELECT conv_id, turn_idx, conf_bp, width, li, line,
+               (li - 1) + len(coalesce(
+                   array_to_string(list_slice(ls, 1, li - 1), ''), ''))
+                   AS off,
+               string_split(line, ' ') AS parts
+        FROM lines),
+    toks AS (
+        SELECT conv_id, turn_idx, conf_bp, width, li, off, parts,
+               unnest(parts) AS part,
+               unnest(range(1, len(parts) + 1)) AS k
+        FROM line_off),
+    tok_pos AS (
+        SELECT *,
+               (k - 1) + len(coalesce(
+                   array_to_string(list_slice(parts, 1, k - 1), ''), ''))
+                   AS a
+        FROM toks WHERE part <> '')
+    SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+           CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY li, k) - 1 AS INT) AS token_index,
+           part AS text,
+           CAST(round((0.05 + (a / width) * 0.9) * 1000000) AS BIGINT)
+               AS x0_micro,
+           CAST(10000 + (li - 1) * 12000 AS BIGINT) AS y0_micro,
+           CAST(round((0.05 + ((a + len(part)) / width) * 0.9) * 1000000)
+                AS BIGINT) AS x1_micro,
+           CAST(10000 + (li - 1) * 12000 + 8000 AS BIGINT) AS y1_micro,
+           CAST(conf_bp AS BIGINT) AS conf_bp,
+           CAST(off + a AS INT) AS start,
+           CAST(off + a + len(part) AS INT) AS "end"
+    FROM tok_pos
+    """
 
 
 @register("text_token_count", r"""
@@ -1003,16 +1080,21 @@ TRANSCRIPTS_SNAPSHOT = "/tmp/updx_oracle_inputs/transcripts.parquet"
 _SNAPSHOT_WRITTEN: set[int] = set()  # n_convs written by this process
 
 
-def _pipeline_outputs(spark, sf_dir):
+def _ensure_snapshot(spark, sf_dir) -> DataFrame:
+    """Write (once per process per size) and read the transcripts
+    snapshot both engines share."""
     sf = sf_from_dir(sf_dir)
     n_convs = min(n_convs_for_sf(sf), 2_000)  # cap correctness-run size
-    if _SNAPSHOT_WRITTEN != {n_convs}:  # write once per process per size
+    if _SNAPSHOT_WRITTEN != {n_convs}:
         transcripts_sdf(spark, n_convs).write.mode("overwrite") \
             .parquet(TRANSCRIPTS_SNAPSHOT)
         _SNAPSHOT_WRITTEN.clear()
         _SNAPSHOT_WRITTEN.add(n_convs)
-    transcripts = spark.read.parquet(TRANSCRIPTS_SNAPSHOT)
-    return run_pipeline(transcripts)
+    return spark.read.parquet(TRANSCRIPTS_SNAPSHOT)
+
+
+def _pipeline_outputs(spark, sf_dir):
+    return run_pipeline(_ensure_snapshot(spark, sf_dir))
 
 
 def _sql_regex(pattern: str) -> str:
@@ -2529,6 +2611,8 @@ def _attach_turns_sql() -> None:
 """)
     fn, _ = _REGISTRY["transcripts_classification"]
     _REGISTRY["transcripts_classification"] = (fn, _classification_sql())
+    fn, _ = _REGISTRY["transcripts_token_ir"]
+    _REGISTRY["transcripts_token_ir"] = (fn, _token_ir_sql())
     fn, _ = _REGISTRY["transcripts_records_delim"]
     _REGISTRY["transcripts_records_delim"] = (fn, f"""
     WITH {view},
