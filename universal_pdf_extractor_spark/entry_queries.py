@@ -31,8 +31,6 @@ check.  The remaining no-oracle entries, each with its reason:
   picks on the same slice).  Only headerless-segment rows and the
   geometry-only direction choice on UNCONFIRMED case-1 rows remain
   pytest-gated.
-- multimodal_features: payloads are Spark-generated binaries with no
-  DuckDB-side source, and the decode step is a documented stub.
 - transcripts_detected_tables: the histogram/peak column geometry it
   reports IS the non-relational kernel; the per-engine routing, row
   counts and structured-tier geometry (column_count/header_row) are
@@ -873,13 +871,83 @@ def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, q, k=10)
 
 
-@register("multimodal_features", None)  # decode is a documented stub;
-# payloads are Spark-generated binaries with no DuckDB-side source
+MEDIA_SNAPSHOT = "/tmp/updx_oracle_inputs/media.parquet"
+_MEDIA_WRITTEN: set[int] = set()
+
+
+def _multimodal_sql() -> str:
+    """Oracle for the multimodal features: n_bytes/sha256 from the
+    snapshotted payload BLOBs, geometry from metadata, and the signal
+    sums RE-DERIVED from the deterministic content formulas — while
+    the engine derives them by actually decoding the BMP/WAV bytes, so
+    a decode defect (row order, padding, channel order, chunk walk)
+    breaks the hash."""
+    from .datapipe.multimodal import (
+        AUD_A,
+        AUD_I,
+        AUDIO_N,
+        PIX_A,
+        PIX_C,
+        PIX_X,
+        PIX_Y,
+    )
+    return rf"""
+    WITH m AS (
+        SELECT media_id, kind, width, height, payload
+        FROM read_parquet('{MEDIA_SNAPSHOT}/*.parquet')),
+    sig AS (
+        SELECT media_id, kind,
+               CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+               -- DuckDB 1.0 has no sha256(BLOB); digest the lowercase
+               -- hex encoding instead (Spark side mirrors exactly)
+               sha256(lower(hex(payload))) AS payload_digest,
+               CASE WHEN kind <> 'audio' THEN width END AS width,
+               CASE WHEN kind <> 'audio' THEN height END AS height,
+               CASE WHEN kind = 'audio'
+                    THEN list_transform(range(0, {AUDIO_N}),
+                         i -> ((media_id * {AUD_A} + i * {AUD_I}) % 65536)
+                              - 32768)
+                    ELSE list_transform(range(0, width * height * 3),
+                         j -> (media_id * {PIX_A}
+                               + (j // (width * 3)) * {PIX_Y}
+                               + ((j % (width * 3)) // 3) * {PIX_X}
+                               + (j % 3) * {PIX_C}) % 256)
+               END AS signal
+        FROM m)
+    SELECT media_id, kind, n_bytes, payload_digest,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(len(signal) AS BIGINT) AS n_samples,
+           CAST(list_sum(signal) AS BIGINT) AS signal_sum,
+           CAST(least(8, len(signal)) AS INT) AS frames_sampled,
+           CAST(list_sum(list_transform(
+               range(0, least(8, len(signal))),
+               k -> signal[1 + (k * (len(signal) - 1))
+                           // greatest(least(8, len(signal)) - 1, 1)]))
+               AS BIGINT) AS frame_sum
+    FROM sig
+    """
+
+
+@register("multimodal_features", None)  # SQL attached below
 def multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: binary media columns -> flat feature table
-    (batched matrix math; decode stubbed, everything else real)."""
+    """Multimodal processing: binary media columns -> flat feature
+    table via REAL 24-bit-BMP / PCM16-WAV decode (pure numpy, public
+    formats), oracle-checked against formula re-derivations over the
+    snapshotted payloads (see _multimodal_sql)."""
     from .datapipe.multimodal import extract_features, synthetic_media
-    return extract_features(synthetic_media(spark, n=256))
+    media = synthetic_media(spark, n=256)
+    if not _MEDIA_WRITTEN:
+        media.write.mode("overwrite").parquet(MEDIA_SNAPSHOT)
+        _MEDIA_WRITTEN.add(1)
+    snap = spark.read.parquet(MEDIA_SNAPSHOT)
+    digest = snap.select(
+        "media_id",
+        F.sha2(F.lower(F.hex("payload")), 256).alias("payload_digest"))
+    # the raw-bytes sha256 needs a BLOB hash DuckDB 1.0 lacks; it stays
+    # pytest-pinned (test_multimodal) while the hex digest carries the
+    # cross-engine payload-identity check
+    return (extract_features(snap).drop("content_sha256")
+            .join(digest, "media_id"))
 
 
 @register("transcripts_token_ir", None)  # SQL attached below
@@ -2613,6 +2681,8 @@ def _attach_turns_sql() -> None:
     _REGISTRY["transcripts_classification"] = (fn, _classification_sql())
     fn, _ = _REGISTRY["transcripts_token_ir"]
     _REGISTRY["transcripts_token_ir"] = (fn, _token_ir_sql())
+    fn, _ = _REGISTRY["multimodal_features"]
+    _REGISTRY["multimodal_features"] = (fn, _multimodal_sql())
     fn, _ = _REGISTRY["transcripts_records_delim"]
     _REGISTRY["transcripts_records_delim"] = (fn, f"""
     WITH {view},
