@@ -103,13 +103,29 @@ def ngram_jaccard_pairs(documents: DataFrame,
     at a fraction of the join volume: the quadratic blowup on
     ubiquitous shingles disappears because they sort to the suffix.
     """
+    # repartition barrier: shingle construction (split + slice + join +
+    # distinct over every document) is the dominant narrow stage, and
+    # this subtree feeds FOUR plan branches (df counts, prefix ranking,
+    # and both verification sides).  Materializing it behind one
+    # hash(doc_id) exchange lets every branch ReusedExchange the
+    # computed arrays instead of re-deriving them from the scan.
     docs = documents.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), n).alias("shingles"),
-    ).withColumn("n_shingles", F.size("shingles"))
+    ).withColumn("n_shingles", F.size("shingles")).repartition("doc_id")
 
-    exploded = docs.select("doc_id", "n_shingles",
-                           F.explode("shingles").alias("shingle"))
+    # candidate phase runs on 64-bit shingle hashes, not strings: the
+    # df-count/rank/self-join shuffles move 8-byte longs instead of
+    # ~25-byte shingle text.  Lossless: equal shingles hash equal, so
+    # a shared-prefix witness survives; a collision can only MERGE two
+    # distinct shingles (higher df, extra join matches), which grows
+    # the candidate set — never shrinks it — and verification below is
+    # exact on the true string arrays.  (df, hash) stays a consistent
+    # global total order, which is all the prefix theorem needs.
+    exploded = docs.select(
+        "doc_id", "n_shingles",
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s)))
+        .alias("shingle"))
     df_counts = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
     # rare-first rank within each doc; prefix keeps the filter lossless
