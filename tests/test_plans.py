@@ -68,6 +68,26 @@ def test_split_segments_grouping_is_equivalent(transcripts):
     assert plan.count("Exchange") == 2
 
 
+def test_ngram_candidate_phase_hashed_and_reused(spark, tmp_path_factory):
+    """The jaccard candidate phase must shuffle 8-byte shingle hashes
+    (xxhash64), and at runtime AQE must reuse the repartition barrier's
+    exchange instead of recomputing the shingle arrays per branch."""
+    import pandas as pd
+
+    from universal_pdf_extractor_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(40)],
+        "text": [f"alpha beta gamma delta epsilon zeta {i % 7}"
+                 for i in range(40)],
+    }))
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs.collect()
+    plan = _plan(pairs)
+    assert "xxhash64" in plan
+    assert plan.count("ReusedExchange") >= 1
+
+
 def test_filter_pushdown_reaches_scan(transcripts):
     filtered = transcripts.where("turn_idx = 0").select("conv_id")
     plan = _plan(filtered)
