@@ -1,0 +1,90 @@
+"""New training-data text operators: Gopher repetition rules, PII
+scan/redaction, corpus duplicate-line discovery (datapipe/textstats)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from universal_pdf_extractor_spark.datapipe.textstats import (
+    duplicate_lines,
+    pii_scan,
+    repetition_scores,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(len(texts))],
+        "text": texts,
+    }))
+
+
+class TestRepetition:
+    def test_duplicate_lines_and_grams(self, spark):
+        text = "a b c\na b c\nx y z\n"          # 3 lines, one duplicated
+        out = repetition_scores(_docs(spark, [text])).toPandas().iloc[0]
+        assert out["n_lines"] == 3
+        assert out["dup_line_frac"] == pytest.approx(1 / 3)
+        # 6 of 9 line-chars (spaces collapsed) sit in duplicated lines
+        assert out["dup_line_char_frac"] == pytest.approx(10 / 15)
+        # tokens: a b c a b c x y z -> 8 2-grams, 'b c' and 'a b' twice
+        assert out["top_2gram_frac"] == pytest.approx(2 / 8)
+        # 7 3-grams, 'a b c' twice -> 2/7 repeated
+        assert out["dup_3gram_frac"] == pytest.approx(2 / 7)
+
+    def test_clean_document_scores_zero(self, spark):
+        out = repetition_scores(
+            _docs(spark, ["one two three four five six"])).toPandas().iloc[0]
+        assert out["dup_line_frac"] == 0.0
+        assert out["dup_3gram_frac"] == 0.0
+
+    def test_empty_document(self, spark):
+        out = repetition_scores(_docs(spark, [""])).toPandas().iloc[0]
+        assert out["n_lines"] == 0
+        assert out["top_2gram_frac"] == 0.0
+
+
+class TestPII:
+    def test_counts_and_redaction_order(self, spark):
+        text = ("Contact jane.doe@example.co.uk or 07700900123. "
+                "Sort Code: 20-14-53  Account Number 48291002 "
+                "Manchester M1 4BT")
+        out = pii_scan(_docs(spark, [text])).toPandas().iloc[0]
+        assert out["n_email"] == 1
+        assert out["n_phone"] == 1
+        assert out["n_postcode"] == 1
+        assert out["n_sortcode"] == 1
+        # the 8-digit account matches once; the phone's 11 digits were
+        # already redacted so they cannot double-count as an account
+        assert out["n_account"] == 1
+        assert bool(out["has_pii"]) is True
+
+    def test_clean_text_has_no_pii(self, spark):
+        out = pii_scan(_docs(spark, ["just a plain sentence"])) \
+            .toPandas().iloc[0]
+        assert out["n_email"] == 0 and bool(out["has_pii"]) is False
+
+    def test_sortcode_not_counted_as_account(self, spark):
+        out = pii_scan(_docs(spark, ["code 12-34-56 only"])).toPandas().iloc[0]
+        assert out["n_sortcode"] == 1
+        assert out["n_account"] == 0
+
+
+class TestDuplicateLines:
+    def test_threshold_and_counts(self, spark):
+        texts = ["shared boilerplate\nunique a",
+                 "shared boilerplate\nunique b",
+                 "shared  boilerplate\nunique c",   # normalizes equal
+                 "nothing shared here"]
+        out = duplicate_lines(_docs(spark, texts), min_docs=2).toPandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["line"] == "shared boilerplate"
+        assert row["n_docs"] == 3
+        assert row["n_occurrences"] == 3
+
+    def test_within_doc_repeats_do_not_cross_threshold(self, spark):
+        texts = ["same line\nsame line", "other"]
+        out = duplicate_lines(_docs(spark, texts), min_docs=2).toPandas()
+        assert len(out) == 0

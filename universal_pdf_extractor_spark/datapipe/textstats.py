@@ -113,6 +113,137 @@ def language_id(documents: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _norm_lines(text_col):
+    """Non-empty whitespace-normalized lines of a document."""
+    return F.filter(
+        F.transform(F.split(text_col, "\n"),
+                    lambda l: F.trim(F.regexp_replace(l, r"\s+", " "))),
+        lambda l: l != "")
+
+
+def repetition_scores(documents: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (public quality rules):
+
+    - dup_line_frac / dup_line_char_frac: fraction of duplicate lines
+      and of characters inside them (array ops: line counts per doc
+      are small);
+    - top_2gram_frac: fraction of 2-grams taken by the most common
+      one; dup_3gram_frac: fraction of 3-grams that repeat — both via
+      an explode -> groupBy(doc, hash60(gram)) plan (shuffle keys are
+      bounded integers, never gram text; scales where per-doc O(n^2)
+      array scans would not).
+    """
+    from .dedup import hash60
+
+    t = F.col(text_col)
+    lines = _norm_lines(t)
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(lines, F.lit(0).cast("long"),
+                             lambda a, x: a + F.length(x))
+    dup_chars = F.aggregate(
+        lines, F.lit(0).cast("long"),
+        lambda a, x: a + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1,
+            F.length(x)).otherwise(F.lit(0)))
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.lower(t)).alias("toks"),
+        n_lines.cast("long").alias("n_lines"),
+        # raw IEEE fractions (identical int->double division on any
+        # engine); consumers needing stable stringification floor to
+        # integer micro-units — round(x, 6) would sit on the
+        # half-even/half-away dialect boundary for power-of-two
+        # denominators (1/128 = 0.0078125)
+        ((n_lines - F.size(F.array_distinct(lines)))
+         / F.greatest(n_lines.cast("double"), F.lit(1.0)))
+        .alias("dup_line_frac"),
+        (dup_chars / F.greatest(line_chars.cast("double"), F.lit(1.0)))
+        .alias("dup_line_char_frac"),
+    )
+
+    def grams(k: int):
+        n = F.size(F.col("toks"))
+        return F.when(n >= k, F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: hash60(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k))))
+        ).otherwise(F.array().cast("array<long>"))
+
+    def gram_stats(k: int, top_name: str, dup_name: str):
+        g = (base.select("doc_id", F.explode(grams(k)).alias("g"))
+             .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+             .groupBy("doc_id")
+             .agg(F.sum("c").alias("n_grams"),
+                  F.max("c").alias("top_c"),
+                  F.sum(F.when(F.col("c") > 1, F.col("c"))
+                        .otherwise(F.lit(0))).alias("dup_c")))
+        return g.select(
+            "doc_id",
+            (F.col("top_c") / F.col("n_grams").cast("double")).alias(top_name),
+            (F.col("dup_c") / F.col("n_grams").cast("double")).alias(dup_name))
+
+    g2 = gram_stats(2, "top_2gram_frac", "_d2")
+    g3 = gram_stats(3, "_t3", "dup_3gram_frac")
+    return (base.drop("toks")
+            .join(g2.select("doc_id", "top_2gram_frac"), "doc_id", "left")
+            .join(g3.select("doc_id", "dup_3gram_frac"), "doc_id", "left")
+            .select("doc_id", "n_lines", "dup_line_frac",
+                    "dup_line_char_frac",
+                    F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+                    F.coalesce("dup_3gram_frac", F.lit(0.0)).alias("dup_3gram_frac")))
+
+
+# PII patterns: RE2-compatible (no lookaround/backrefs) so the Spark
+# and DuckDB engines run the LITERAL same expressions.  Redaction is
+# sequential — each class scans the output of the previous one — so
+# e.g. the 8-digit account rule cannot re-match digits inside an
+# already-redacted phone number.
+PII_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"(?:\+44|\b0)\d{9,10}\b", "[PHONE]"),
+    ("postcode", r"\b[A-Z]{1,2}\d[A-Z\d]? \d[A-Z]{2}\b", "[POSTCODE]"),
+    ("sortcode", r"\b\d{2}-\d{2}-\d{2}\b", "[SORTCODE]"),
+    ("account", r"\b\d{8}\b", "[ACCOUNT]"),
+]
+
+
+def pii_scan(documents: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """PII detection + redaction over the documents table (the scrub
+    pass a training pipeline runs before publication): per-class match
+    counts and the fully-redacted text, all native regexp ops."""
+    cur = F.col(text_col)
+    cols = [F.col(id_col).alias("doc_id")]
+    for name, pattern, repl in PII_RULES:
+        cols.append(F.size(F.regexp_extract_all(cur, F.lit(pattern), F.lit(0)))
+                    .cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pattern, repl)
+    cols.append(F.sha2(cur, 256).alias("redacted_sha256"))
+    cols.append((F.size(F.regexp_extract_all(cur, F.lit(r"\[(?:EMAIL|PHONE|POSTCODE|SORTCODE|ACCOUNT)\]"), F.lit(0))) > 0)
+                .alias("has_pii"))
+    return documents.select(*cols)
+
+
+def duplicate_lines(documents: DataFrame, min_docs: int = 2,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-level duplicate-line discovery (the CCNet/RefinedWeb
+    boilerplate-removal primitive): normalized lines shared by >=
+    min_docs documents, with document and occurrence counts.  Shuffles
+    on hash60(line), never the line text."""
+    from .dedup import hash60
+
+    lines = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_norm_lines(F.col(text_col))).alias("line"))
+    return (lines
+            .groupBy(hash60(F.col("line")).alias("line_hash"))
+            .agg(F.min("line").alias("line"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                 F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+            .where(F.col("n_docs") >= min_docs))
+
+
 def fingerprints(documents: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Polynomial rolling hash over normalized tokens (no UDF).

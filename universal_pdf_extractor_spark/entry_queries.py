@@ -1135,6 +1135,159 @@ def text_fingerprints(spark, sf_dir):
     return textstats.fingerprints(docs)
 
 
+# normalized non-empty lines / lowered tokens of a document (DuckDB)
+_SQL_LINES = ("list_filter(list_transform(string_split(text, chr(10)),"
+              r" l -> trim(regexp_replace(l, '\s+', ' ', 'g'))), l -> l <> '')")
+_SQL_TOKS = (r"CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''"
+             " THEN []::VARCHAR[]"
+             r" ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ',"
+             " 'g')), ' ') END")
+
+
+@register("text_repetition_scores", f"""
+    WITH base AS (
+        SELECT doc_id, {_SQL_LINES} AS ls, {_SQL_TOKS} AS toks
+        FROM documents),
+    linestats AS (
+        SELECT doc_id, toks,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               (len(ls) - len(list_distinct(ls)))
+                   / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS dup_line_frac,
+               coalesce(list_sum(list_transform(ls,
+                   x -> CASE WHEN len(list_filter(ls, y -> y = x)) > 1
+                             THEN len(x) ELSE 0 END)), 0)
+                   / greatest(CAST(coalesce(list_sum(
+                         list_transform(ls, x -> len(x))), 0) AS DOUBLE), 1.0)
+                   AS dup_line_char_frac
+        FROM base),
+    g2 AS (
+        SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_2gram_frac
+        FROM (SELECT doc_id, g, COUNT(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(CASE WHEN len(toks) >= 2
+                               THEN list_transform(range(1, len(toks)),
+                                   i -> {_H60_SQL.format(s="array_to_string(list_slice(toks, i, i + 1), ' ')")})
+                               ELSE []::BIGINT[] END) AS g
+                    FROM base)
+              GROUP BY 1, 2)
+        GROUP BY 1),
+    g3 AS (
+        SELECT doc_id,
+               SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c)
+                   AS dup_3gram_frac
+        FROM (SELECT doc_id, g, COUNT(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(CASE WHEN len(toks) >= 3
+                               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> {_H60_SQL.format(s="array_to_string(list_slice(toks, i, i + 2), ' ')")})
+                               ELSE []::BIGINT[] END) AS g
+                    FROM base)
+              GROUP BY 1, 2)
+        GROUP BY 1)
+    SELECT l.doc_id, l.n_lines,
+           CAST(floor(l.dup_line_frac * 1000000) AS BIGINT) AS dup_line_ppm,
+           CAST(floor(l.dup_line_char_frac * 1000000) AS BIGINT)
+               AS dup_line_char_ppm,
+           CAST(floor(coalesce(g2.top_2gram_frac, 0.0) * 1000000) AS BIGINT)
+               AS top_2gram_ppm,
+           CAST(floor(coalesce(g3.dup_3gram_frac, 0.0) * 1000000) AS BIGINT)
+               AS dup_3gram_ppm
+    FROM linestats l
+    LEFT JOIN g2 USING (doc_id)
+    LEFT JOIN g3 USING (doc_id)
+""")
+def text_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition quality rules (duplicate lines/chars,
+    top-2-gram share, repeated-3-gram share), compared as exact
+    floor-micro integers (ppm) — identical IEEE fractions floored the
+    same on both engines, with no round-half dialect exposure."""
+    docs = _read(spark, sf_dir, "documents")
+    rep = textstats.repetition_scores(docs)
+    ppm = lambda c: F.floor(F.col(c) * 1e6).cast("long")  # noqa: E731
+    return rep.select(
+        "doc_id", "n_lines",
+        ppm("dup_line_frac").alias("dup_line_ppm"),
+        ppm("dup_line_char_frac").alias("dup_line_char_ppm"),
+        ppm("top_2gram_frac").alias("top_2gram_ppm"),
+        ppm("dup_3gram_frac").alias("dup_3gram_ppm"))
+
+
+def _pii_sql() -> str:
+    from .datapipe.textstats import PII_RULES
+    cur = "text"
+    cols = []
+    for name, pattern, repl in PII_RULES:
+        pat = _sql_regex(pattern)
+        cols.append(f"len(regexp_extract_all({cur}, '{pat}')) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    tag = _sql_regex(r"\[(?:EMAIL|PHONE|POSTCODE|SORTCODE|ACCOUNT)\]")
+    return f"""
+    SELECT doc_id,
+           {', '.join(cols)},
+           sha256({cur}) AS redacted_sha256,
+           len(regexp_extract_all({cur}, '{tag}')) > 0 AS has_pii
+    FROM documents
+    """
+
+
+@register("text_pii_scan", None)  # SQL attached at import below
+def text_pii_scan(spark, sf_dir):
+    """PII detection + redaction (emails, UK phones/postcodes/sort
+    codes/account numbers): per-class counts computed on the
+    sequentially-redacted text, plus the redacted text's sha256 — the
+    scrub pass a training pipeline runs before publication.  The
+    patterns are RE2-compatible so both engines run the literal same
+    expressions."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.pii_scan(docs)
+
+
+def _duplicate_lines_sql() -> str:
+    """Oracle over the transcripts snapshot (the driver documents
+    table is single-line-per-doc, so the meaningful corpus for
+    boilerplate discovery is the conversation payloads)."""
+    return f"""
+    WITH docs AS (
+        SELECT conv_id AS doc_id,
+               string_agg(CASE WHEN text IS NOT NULL AND text <> '' THEN text
+                               WHEN tool IS NOT NULL AND tool <> '' THEN tool
+                               ELSE '' END, chr(10) ORDER BY turn_idx) AS text
+        FROM read_parquet('{TRANSCRIPTS_SNAPSHOT}/*.parquet')
+        GROUP BY conv_id),
+    lines AS (
+        SELECT doc_id, unnest({_SQL_LINES}) AS line
+        FROM docs)
+    SELECT {_H60_SQL.format(s='line')} AS line_hash,
+           MIN(line) AS line,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM lines
+    GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) >= 50
+    """
+
+
+@register("corpus_duplicate_lines", None)  # SQL attached at import below
+def corpus_duplicate_lines(spark, sf_dir):
+    """Corpus-level duplicate-line discovery (CCNet/RefinedWeb
+    boilerplate primitive) over the transcripts corpus: normalized
+    lines shared by >= 50 conversations — exactly the boilerplate
+    (provider headers, FSCS notices, chatter stock phrases) a
+    training pipeline strips before use.  Aggregated on hash60(line)
+    so the shuffle key is a bounded integer."""
+    snap = _ensure_snapshot(spark, sf_dir)
+    payload = F.when((F.col("text").isNotNull()) & (F.col("text") != ""),
+                     F.col("text")) \
+               .when((F.col("tool").isNotNull()) & (F.col("tool") != ""),
+                     F.col("tool")).otherwise(F.lit(""))
+    docs = (snap.groupBy("conv_id")
+            .agg(F.concat_ws("\n", F.array_sort(F.collect_list(
+                F.struct("turn_idx", payload.alias("p")))).getField("p"))
+                 .alias("text"))
+            .select(F.col("conv_id").alias("doc_id"), "text"))
+    return textstats.duplicate_lines(docs, min_docs=50)
+
+
 # ───────────────────── transcripts pipeline ─────────────────────────
 
 # The synthetic transcripts corpus is not part of the driver's parquet
@@ -2683,6 +2836,10 @@ def _attach_turns_sql() -> None:
     _REGISTRY["transcripts_token_ir"] = (fn, _token_ir_sql())
     fn, _ = _REGISTRY["multimodal_features"]
     _REGISTRY["multimodal_features"] = (fn, _multimodal_sql())
+    fn, _ = _REGISTRY["text_pii_scan"]
+    _REGISTRY["text_pii_scan"] = (fn, _pii_sql())
+    fn, _ = _REGISTRY["corpus_duplicate_lines"]
+    _REGISTRY["corpus_duplicate_lines"] = (fn, _duplicate_lines_sql())
     fn, _ = _REGISTRY["transcripts_records_delim"]
     _REGISTRY["transcripts_records_delim"] = (fn, f"""
     WITH {view},
