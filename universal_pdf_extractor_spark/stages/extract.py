@@ -76,6 +76,32 @@ RECORDS_STAGE_SCHEMA = StructType([
 
 _COLUMNS = [f.name for f in RECORDS_STAGE_SCHEMA.fields]
 
+# combined records+diagnostics output: ONE analyse_segment pass emits
+# both surfaces (discriminated by row_type), so materializing
+# detected_tables costs zero extra Python work — the separate
+# diagnostics stage used to re-run the entire extraction kernel
+# (~25% of pipeline wall at sf0.1)
+_DIAG_FIELDS = [
+    StructField("engine", StringType(), True),
+    StructField("table_type", StringType(), True),
+    StructField("row_count", IntegerType(), True),
+    StructField("column_count", IntegerType(), True),
+    StructField("bbox_json", StringType(), True),
+    StructField("header_json", StringType(), True),
+    StructField("column_mapping_json", StringType(), True),
+]
+
+COMBINED_STAGE_SCHEMA = StructType(
+    [StructField("row_type", StringType(), False)]
+    + [StructField(f.name, f.dataType, True) if f.name not in
+       ("conv_id", "segment_index") else f
+       for f in RECORDS_STAGE_SCHEMA.fields]
+    + _DIAG_FIELDS)
+
+_COMBINED_COLUMNS = [f.name for f in COMBINED_STAGE_SCHEMA.fields]
+RECORD_COLUMNS = _COLUMNS
+DIAG_COLUMNS = ["conv_id", "segment_index"] + [f.name for f in _DIAG_FIELDS]
+
 
 def _conf(x: float) -> Decimal:
     # reference persists Decimal(str(round(x, 4))) (orchestrator.py:676-678)
@@ -98,6 +124,81 @@ def _segment_lines(seg: pd.DataFrame) -> list[dict]:
             ln["turn_idx"] = int(turn_idx)
             lines.append(ln)
     return lines
+
+
+def _diag_row(conv_id: str, seg_idx: int, d: dict) -> dict:
+    import json
+
+    return {
+        "conv_id": conv_id,
+        "segment_index": int(seg_idx),
+        "engine": d["engine"],
+        "table_type": d["table_type"],
+        "row_count": int(d["row_count"]),
+        "column_count": (int(d["column_count"])
+                         if d.get("column_count") is not None else None),
+        "bbox_json": (json.dumps(d["bbox"], sort_keys=True)
+                      if d.get("bbox") is not None else None),
+        "header_json": (json.dumps(d["header"], sort_keys=True)
+                        if d.get("header") is not None else None),
+        "column_mapping_json": (json.dumps(d["column_mapping"], sort_keys=True)
+                                if d.get("column_mapping") is not None else None),
+    }
+
+
+def _analyse_combined_into(pdf: pd.DataFrame, conv_id: str,
+                           out_rows: list[dict]) -> None:
+    """Records AND diagnostics from one analyse_segment call per
+    segment (row_type-discriminated; missing columns filled by the
+    DataFrame constructor as NaN -> null)."""
+    for seg_idx, seg in pdf.groupby("segment_index", sort=True):
+        result = analyse_segment(_segment_lines(seg))
+        for rec in result["records"]:
+            # explicit None for the diag-only columns: pandas fills
+            # missing keys with float NaN, which Arrow cannot place in
+            # Decimal/struct-typed columns
+            out_rows.append(dict(dict.fromkeys(_COMBINED_COLUMNS), **{
+                "row_type": "record",
+                "conv_id": conv_id,
+                "segment_index": int(seg_idx),
+                "row_index": rec["row_index"],
+                "turn_idx": rec["turn_idx"],
+                "posted_date": rec["posted_date"],
+                "description_raw": rec["description_raw"],
+                "description_clean": rec["description_clean"],
+                "amount": rec["amount"],
+                "direction": rec["direction"],
+                "direction_source": rec["direction_source"],
+                "running_balance": rec["running_balance"],
+                "balance_confirmed": rec["balance_confirmed"],
+                "balance_tolerance_used": rec["balance_tolerance_used"],
+                "confidence_amount": _conf(rec["confidence_amount"]),
+                "confidence_date": _conf(rec["confidence_date"]),
+                "confidence_direction": _conf(rec["confidence_direction"]),
+                "fallback_used": result["fallback_used"],
+                "evidence": [(e["field"], e["turn_idx"], e["start"], e["end"])
+                             for e in rec["evidence"]],
+                "segment_opening_balance": result["opening_balance"],
+                "segment_closing_balance": result["closing_balance"],
+                "segment_closing_distinct": result["closing_balance_distinct"],
+            }))
+        out_rows.append(dict(dict.fromkeys(_COMBINED_COLUMNS),
+                             **_diag_row(conv_id, seg_idx,
+                                         result["diagnostics"]),
+                             row_type="diag", evidence=[]))
+
+
+def _combined_stream(batches):
+    return _stream_conversations(batches, _analyse_combined_into,
+                                 _COMBINED_COLUMNS)
+
+
+def extract_combined_stage(turns_seg: DataFrame) -> DataFrame:
+    """turns(+segment_index) -> row_type-discriminated union of
+    extracted records and per-segment diagnostics, from ONE pass.
+    Same partition-layout contract as extract_stage."""
+    slim = turns_seg.select("conv_id", "turn_idx", "segment_index", "payload")
+    return slim.mapInPandas(_combined_stream, schema=COMBINED_STAGE_SCHEMA)
 
 
 def _analyse_into(pdf: pd.DataFrame, conv_id: str, out_rows: list[dict]) -> None:

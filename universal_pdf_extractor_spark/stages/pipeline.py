@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 from .classify import classify_stage
-from .extract import detected_tables_stage, extract_stage, segments_table
+from .extract import (
+    DIAG_COLUMNS,
+    RECORD_COLUMNS,
+    extract_combined_stage,
+    extract_stage,
+    segments_table,
+)
 from .score import conversations_table
 from .segment import segment_stage
 from .tokenize import tokenize_stage
@@ -58,8 +64,22 @@ def run_pipeline(transcripts: DataFrame, persist: bool = False,
         from pyspark import StorageLevel
         turns_seg = turns_seg.persist(StorageLevel.MEMORY_AND_DISK)
 
-    records_stage = extract_stage(turns_seg, split_segments=split_segments)
-    if persist:
+    if split_segments:
+        # skew escape hatch keeps the dedicated record stage; the
+        # diagnostics pass stays separate on this path
+        combined = None
+        records_stage = extract_stage(turns_seg, split_segments=True)
+    else:
+        # ONE analyse_segment pass yields records AND per-segment
+        # diagnostics (row_type-discriminated): materializing
+        # detected_tables no longer re-runs the extraction kernel
+        combined = extract_combined_stage(turns_seg)
+        if persist:
+            from pyspark import StorageLevel
+            combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
+        records_stage = combined.where(F.col("row_type") == "record") \
+                                .select(*RECORD_COLUMNS)
+    if persist and combined is None:
         # segments and conversations both aggregate the records frame;
         # without this the extraction UDF (the most expensive stage)
         # would execute once per consumer
@@ -89,16 +109,20 @@ def run_pipeline(transcripts: DataFrame, persist: bool = False,
         "n_lines", "n_tokens", "mean_token_confidence", "segment_index",
         "boundary_score", "is_boundary", "boundary_confidence",
     )
+    if combined is not None:
+        detected = combined.where(F.col("row_type") == "diag") \
+                           .select(*DIAG_COLUMNS)
+    else:
+        from .extract import detected_tables_stage
+        detected = detected_tables_stage(turns_seg)
     out = {
         "turns": turns_out,
         "records": records,
         "segments": segments,
         "conversations": conversations,
-        # lazy diagnostics pass (detected_tables analogue): only costs
-        # a job when this output is actually consumed
-        "detected_tables": detected_tables_stage(turns_seg),
+        "detected_tables": detected,
     }
     if persist:
         out["_turns_seg"] = turns_seg
-        out["_records_stage"] = records_stage
+        out["_records_stage"] = combined if combined is not None else records_stage
     return out
