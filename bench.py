@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "agg_pricing_summary", "join_orders_customers", "cumsum_segmentation",
     "boilerplate_strip_docs", "amount_parse_roundtrip",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "ann_cosine_topk",
-    "text_quality_scores",
+    "text_quality_scores", "text_repetition_scores", "text_pii_scan",
 ]
 
 
