@@ -71,6 +71,37 @@ class TestPII:
         assert out["n_account"] == 0
 
 
+class TestDedupComponents:
+    def test_transitive_chain_collapses_to_one_keeper(self, spark):
+        """a~b and b~c without a~c: the closure must still put all
+        three in one component with the min id as keeper."""
+        pairs = spark.createDataFrame(pd.DataFrame({
+            "a": ["d1", "d2", "d8"],
+            "b": ["d2", "d3", "d9"],
+            "jaccard": [0.9, 0.9, 0.9],
+        }))
+        from universal_pdf_extractor_spark.datapipe.dedup import dedup_components
+        out = dedup_components(pairs).toPandas().set_index("doc_id")
+        assert set(out.index) == {"d1", "d2", "d3", "d8", "d9"}
+        assert (out.loc[["d1", "d2", "d3"], "keep_id"] == "d1").all()
+        assert (out.loc[["d1", "d2", "d3"], "component_size"] == 3).all()
+        assert (out.loc[["d8", "d9"], "keep_id"] == "d8").all()
+        assert bool(out.loc["d1", "is_keeper"]) and not bool(out.loc["d3", "is_keeper"])
+
+    def test_long_path_converges(self, spark):
+        """A 12-node path needs several propagation rounds."""
+        n = 12
+        pairs = spark.createDataFrame(pd.DataFrame({
+            "a": [f"d{i:02d}" for i in range(n - 1)],
+            "b": [f"d{i+1:02d}" for i in range(n - 1)],
+            "jaccard": [0.9] * (n - 1),
+        }))
+        from universal_pdf_extractor_spark.datapipe.dedup import dedup_components
+        out = dedup_components(pairs).toPandas()
+        assert (out["keep_id"] == "d00").all()
+        assert (out["component_size"] == n).all()
+
+
 class TestDuplicateLines:
     def test_threshold_and_counts(self, spark):
         texts = ["shared boilerplate\nunique a",

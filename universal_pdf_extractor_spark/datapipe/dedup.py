@@ -169,6 +169,57 @@ def ngram_jaccard_pairs(documents: DataFrame,
     return verified
 
 
+def dedup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> canonical doc per
+    component (the closure step after any pairwise dedup: pairs are
+    not transitive, so keep/drop decisions need the component, not the
+    edge).
+
+    Iterative min-label propagation: every node starts as its own
+    label; each round takes the min over neighbours; the fixpoint
+    assigns every member its component's minimum doc_id — a
+    deterministic canonical choice independent of iteration order.
+    Rounds are whole distributed join+agg passes (O(diameter) of the
+    largest component, capped); at cluster scale swap in the
+    large-star/small-star variant with checkpointing every few rounds
+    — the per-round plan here is already that shape (join on label
+    keys, never text).
+    """
+    edges = (pairs.select("a", "b")
+             .union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+             .distinct().localCheckpoint(eager=True))
+    labels = (edges.select(F.col("a").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iterations):
+        nbr = (edges.join(labels.withColumnRenamed("doc_id", "b")
+                          .withColumnRenamed("label", "nbr_label"), "b")
+               .groupBy("a").agg(F.min("nbr_label").alias("nbr_min")))
+        # checkpoint per round: iterative plans otherwise re-derive the
+        # whole lineage every iteration (planning and execution both
+        # blow up super-linearly in round count); on a real cluster use
+        # reliable checkpointing instead of localCheckpoint
+        new_labels = (labels.join(nbr, labels.doc_id == nbr.a, "left")
+                      .select(F.col("doc_id"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nbr_min"),
+                                                 F.col("label")))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size"))
+    return (labels.join(sizes, "label")
+            .select("doc_id", F.col("label").alias("keep_id"),
+                    "component_size",
+                    (F.col("doc_id") == F.col("label")).alias("is_keeper")))
+
+
 def minhash_signatures(documents: DataFrame,
                        num_hashes: int = 64,
                        n: int = 3,

@@ -1212,6 +1212,43 @@ def text_repetition_scores(spark, sf_dir):
         ppm("dup_3gram_frac").alias("dup_3gram_ppm"))
 
 
+def _components_sql() -> str:
+    """Recursive-CTE oracle for the dedup closure: reachability over
+    the (verified) near-dup edge set, min reachable doc_id = the
+    canonical keeper — the same fixpoint the engine's min-label
+    propagation converges to, independent of iteration order."""
+    ngram = _REGISTRY["dedup_ngram_jaccard"][1]
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT a, b FROM ({ngram})),
+    edges AS (SELECT a, b FROM pairs
+              UNION SELECT b AS a, a AS b FROM pairs),
+    reach(v, u) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.v, e.b FROM reach r JOIN edges e ON e.a = r.u),
+    lab AS (SELECT v AS doc_id, MIN(u) AS keep_id FROM reach GROUP BY v),
+    sz AS (SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS component_size
+           FROM lab GROUP BY 1)
+    SELECT l.doc_id, l.keep_id, s.component_size,
+           l.doc_id = l.keep_id AS is_keeper
+    FROM lab l JOIN sz s USING (keep_id)
+    """
+
+
+@register("dedup_components", None)  # SQL attached at import below
+def dedup_components_query(spark, sf_dir):
+    """Near-dup closure: connected components over the exact
+    ngram-jaccard pairs, each document mapped to its component's
+    canonical keeper (min doc_id) with the component size — pairwise
+    similarity is not transitive, so keep/drop decisions need this
+    step.  Iterative min-label propagation on the engine side,
+    recursive-CTE reachability on the oracle side, converging to the
+    same deterministic fixpoint."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.dedup_components(pairs)
+
+
 def _pii_sql() -> str:
     from .datapipe.textstats import PII_RULES
     cur = "text"
@@ -2840,6 +2877,8 @@ def _attach_turns_sql() -> None:
     _REGISTRY["text_pii_scan"] = (fn, _pii_sql())
     fn, _ = _REGISTRY["corpus_duplicate_lines"]
     _REGISTRY["corpus_duplicate_lines"] = (fn, _duplicate_lines_sql())
+    fn, _ = _REGISTRY["dedup_components"]
+    _REGISTRY["dedup_components"] = (fn, _components_sql())
     fn, _ = _REGISTRY["transcripts_records_delim"]
     _REGISTRY["transcripts_records_delim"] = (fn, f"""
     WITH {view},
