@@ -119,3 +119,57 @@ class TestDuplicateLines:
         texts = ["same line\nsame line", "other"]
         out = duplicate_lines(_docs(spark, texts), min_docs=2).toPandas()
         assert len(out) == 0
+
+
+class TestJsonlSource:
+    def test_roundtrip_preserves_schema_and_values(self, spark, tmp_path):
+        from universal_pdf_extractor_spark.io.fixtures import generate_transcripts
+        from universal_pdf_extractor_spark.io.sources import (
+            read_transcripts_jsonl,
+            write_transcripts_jsonl,
+        )
+        from universal_pdf_extractor_spark.schemas import TRANSCRIPTS_SCHEMA
+
+        pdf = generate_transcripts(5)
+        src = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+        path = str(tmp_path / "turns.jsonl")
+        write_transcripts_jsonl(src, path)
+        back = read_transcripts_jsonl(spark, path)
+        # JSON scans are nullable-by-construction; the contract is
+        # names + types (null keys are filtered by the reader)
+        assert [(f.name, f.dataType) for f in back.schema.fields] \
+            == [(f.name, f.dataType) for f in TRANSCRIPTS_SCHEMA.fields]
+        a = src.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        b = back.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_pipeline_runs_from_jsonl(self, spark, tmp_path):
+        from universal_pdf_extractor_spark.io.fixtures import generate_transcripts
+        from universal_pdf_extractor_spark.io.sources import (
+            read_transcripts_jsonl,
+            write_transcripts_jsonl,
+        )
+        from universal_pdf_extractor_spark.schemas import TRANSCRIPTS_SCHEMA
+        from universal_pdf_extractor_spark.stages.pipeline import run_pipeline
+
+        pdf = generate_transcripts(4)
+        src = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+        path = str(tmp_path / "turns.jsonl")
+        write_transcripts_jsonl(src, path)
+        out = run_pipeline(read_transcripts_jsonl(spark, path))
+        assert out["turns"].count() == len(pdf)
+        assert out["records"].count() > 0
+
+    def test_malformed_line_fails_fast(self, spark, tmp_path):
+        import pytest as _pytest
+        from py4j.protocol import Py4JJavaError
+        from universal_pdf_extractor_spark.io.sources import read_transcripts_jsonl
+
+        p = tmp_path / "bad"
+        p.mkdir()
+        (p / "part.json").write_text(
+            '{"conv_id": "c1", "turn_idx": 0, "role": "user", '
+            '"text": "hi", "tool": null, "ts": "2024-01-01T00:00:00.000Z"}\n'
+            "{not json at all\n")
+        with _pytest.raises(Exception):
+            read_transcripts_jsonl(spark, str(p)).collect()

@@ -226,21 +226,38 @@ def pii_scan(documents: DataFrame, id_col: str = "doc_id",
 
 def duplicate_lines(documents: DataFrame, min_docs: int = 2,
                     id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    salt_buckets: int = 64) -> DataFrame:
     """Corpus-level duplicate-line discovery (the CCNet/RefinedWeb
     boilerplate-removal primitive): normalized lines shared by >=
-    min_docs documents, with document and occurrence counts.  Shuffles
-    on hash60(line), never the line text."""
+    min_docs documents, with document and occurrence counts.
+
+    Skew-safe by construction: true boilerplate appears in nearly
+    EVERY document, so its line_hash is a textbook hot key.  The
+    aggregation is two-phase with a doc-derived salt — partial
+    per-(line_hash, salt) counts, then a final merge over at most
+    ``salt_buckets`` rows per line.  Because the salt is a pure
+    function of doc_id, the partial DISTINCT-doc counts partition the
+    doc set and sum exactly; occurrence counts always sum.  Shuffle
+    keys are (hash60(line), salt) integers, never line text.
+    """
     from .dedup import hash60
 
     lines = documents.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_norm_lines(F.col(text_col))).alias("line"))
-    return (lines
-            .groupBy(hash60(F.col("line")).alias("line_hash"))
+    partial = (lines
+               .groupBy(hash60(F.col("line")).alias("line_hash"),
+                        F.pmod(F.xxhash64(F.col("doc_id")),
+                               F.lit(salt_buckets)).alias("_salt"))
+               .agg(F.min("line").alias("line"),
+                    F.countDistinct("doc_id").alias("nd"),
+                    F.count(F.lit(1)).alias("no")))
+    return (partial
+            .groupBy("line_hash")
             .agg(F.min("line").alias("line"),
-                 F.countDistinct("doc_id").cast("long").alias("n_docs"),
-                 F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+                 F.sum("nd").cast("long").alias("n_docs"),
+                 F.sum("no").cast("long").alias("n_occurrences"))
             .where(F.col("n_docs") >= min_docs))
 
 
