@@ -2879,6 +2879,28 @@ def _attach_turns_sql() -> None:
     _REGISTRY["corpus_duplicate_lines"] = (fn, _duplicate_lines_sql())
     fn, _ = _REGISTRY["dedup_components"]
     _REGISTRY["dedup_components"] = (fn, _components_sql())
+    fn, _ = _REGISTRY["transcripts_conversations_meta"]
+    _REGISTRY["transcripts_conversations_meta"] = (fn, f"""
+    WITH {view},
+    nseg AS (
+        SELECT conv_id, CAST(MAX(segment_index) + 1 AS INT) AS n_segments
+        FROM turn_segmented GROUP BY conv_id)
+    SELECT c.conv_id, n.n_segments, c.doc_family, c.currency
+    FROM ({_classification_sql()}) c
+    JOIN nseg n USING (conv_id)
+""")
+    fn, _ = _REGISTRY["transcripts_segments_counts"]
+    _REGISTRY["transcripts_segments_counts"] = (fn, f"""
+    WITH {view}
+    SELECT conv_id, segment_index, CAST(COUNT(*) AS INT) AS n_records
+    FROM (WITH {_records_delim_sql()})
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT conv_id, segment_index, CAST(COUNT(*) AS INT) AS n_records
+    FROM (WITH {_records_pattern_sql()}
+          {_records_pattern_select()})
+    GROUP BY 1, 2
+""")
     fn, _ = _REGISTRY["transcripts_records_delim"]
     _REGISTRY["transcripts_records_delim"] = (fn, f"""
     WITH {view},
@@ -2932,6 +2954,32 @@ def _attach_turns_sql() -> None:
 """)
 
 
+
+
+@register("transcripts_conversations_meta", None)  # SQL attached below
+def transcripts_conversations_meta(spark, sf_dir):
+    """SQL-expressible projection of the conversations rollup: the
+    n_segments wiring (max segment index + 1 joined onto the rollup)
+    plus the classification columns, hash-checked — the full rollup
+    row stays rows-only (solver-dependent totals/gates)."""
+    conv = _pipeline_outputs(spark, sf_dir)["conversations"]
+    return conv.select("conv_id", "n_segments", "doc_family", "currency")
+
+
+@register("transcripts_segments_counts", None)  # SQL attached below
+def transcripts_segments_counts(spark, sf_dir):
+    """Segments-table n_records wiring on the structured-tier slices:
+    per-segment record counts re-derived by the tier oracles must
+    equal the segments table's n_records column (the routing oracle
+    pins the diagnostics row_count; this pins the segments table)."""
+    out = _pipeline_outputs(spark, sf_dir)
+    segs = out["segments"]
+    tier_segs = (out["records"]
+                 .where(F.col("direction_source").isin("delim_table",
+                                                       "row_pattern"))
+                 .select("conv_id", "segment_index").distinct())
+    return (segs.join(tier_segs, ["conv_id", "segment_index"])
+            .select("conv_id", "segment_index", "n_records"))
 
 
 @register("transcripts_records", None)
