@@ -42,7 +42,8 @@ def test_full_run_then_exact_resume(spark, corpus, tmp_path_factory):
     with open(manifest_path(out, 0)) as fh:
         m = json.load(fh)
     assert m["input_rows"] > 0
-    assert set(m["outputs"]) == {"turns", "records", "segments", "conversations"}
+    assert set(m["outputs"]) == {"turns", "records", "segments",
+                                  "conversations", "detected_tables"}
     assert all("rows" in v and "xor64" in v for v in m["outputs"].values())
     assert m["run_id"] == s1["run_id"]
     assert m["pipeline_version"] == PIPELINE_VERSION
@@ -64,7 +65,8 @@ def test_full_run_then_exact_resume(spark, corpus, tmp_path_factory):
 
     # simulate a crash that lost group 2: drop its manifest + outputs
     os.remove(manifest_path(out, 2))
-    for table in ("turns", "records", "segments", "conversations"):
+    for table in ("turns", "records", "segments", "conversations",
+                  "detected_tables"):
         shutil.rmtree(os.path.join(out, table, "bucket_group=2"), ignore_errors=True)
 
     s2 = run_with_resume(corpus, out, n_groups=N_GROUPS)

@@ -145,7 +145,12 @@ def run_with_resume(transcripts: DataFrame,
     """
     if run_pipeline_fn is None:
         from ..stages.pipeline import run_pipeline as run_pipeline_fn
-    tables = tables or ["turns", "records", "segments", "conversations"]
+    # detected_tables rides along by default: the combined extraction
+    # pass already computes the diagnostics rows, so persisting them
+    # costs only the write (reference parity: detected_tables is a
+    # persisted table, tables.py:252-292)
+    tables = tables or ["turns", "records", "segments", "conversations",
+                        "detected_tables"]
     run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
 
     done = committed_groups(out_dir)
