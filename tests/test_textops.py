@@ -162,7 +162,6 @@ class TestJsonlSource:
 
     def test_malformed_line_fails_fast(self, spark, tmp_path):
         import pytest as _pytest
-        from py4j.protocol import Py4JJavaError
         from universal_pdf_extractor_spark.io.sources import read_transcripts_jsonl
 
         p = tmp_path / "bad"
