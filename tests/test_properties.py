@@ -180,3 +180,112 @@ def test_non_finite_spellings_rejected(raw):
     p = parse_amount(raw)
     assert p.amount is None
     assert not is_amount_like(raw)
+
+
+# ── round-4 surfaces: codecs, PII, repetition invariants ─────────────
+
+import numpy as np
+
+from universal_pdf_extractor_spark.datapipe.multimodal import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    sample_frames,
+)
+
+_dims = st.tuples(st.integers(min_value=1, max_value=9),
+                  st.integers(min_value=1, max_value=9))
+
+
+@given(_dims, st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=100, deadline=None)
+def test_bmp_roundtrip_any_shape(dims, seed):
+    """Every (h, w) — including widths whose rows need 0-3 padding
+    bytes — must survive encode->decode bit-exactly."""
+    h, w = dims
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3),
+                                             dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=0, max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_wav_roundtrip_any_samples(samples):
+    s = np.asarray(samples, dtype=np.int16)
+    out = decode_wav(encode_wav(s))
+    assert np.array_equal(out, s)
+
+
+@given(st.integers(min_value=1, max_value=500),
+       st.integers(min_value=1, max_value=16))
+@settings(max_examples=100, deadline=None)
+def test_sample_frames_subset_and_order(n, m):
+    """Sampled frames are an index-ordered subset including both
+    endpoints when m >= 2."""
+    sig = np.arange(n, dtype=np.int64) * 7
+    fr = sample_frames(sig, m)
+    assert len(fr) == min(m, n)
+    assert all(x in set(sig.tolist()) for x in fr.tolist())
+    assert list(fr) == sorted(fr)
+    if min(m, n) >= 2:
+        assert fr[0] == sig[0] and fr[-1] == sig[-1]
+
+
+def test_pii_redaction_is_idempotent(spark):
+    """Redacting already-redacted text changes nothing and finds no
+    further PII (tags never re-match any pattern)."""
+    import pandas as pd  # noqa: F811
+
+    from universal_pdf_extractor_spark.datapipe.textstats import pii_scan
+
+    texts = [
+        "mail a@b.co or +441234567890 at M1 4BT, code 20-14-53 acct 48291002",
+        "[EMAIL] [PHONE] [POSTCODE] [SORTCODE] [ACCOUNT]",
+        "no pii here",
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": ["a", "b", "c"], "text": texts}))
+    first = pii_scan(docs).toPandas().set_index("doc_id")
+    # feed the redaction fixpoint back through: build texts whose only
+    # content is tags -> all counts zero, sha stable
+    again = pii_scan(spark.createDataFrame(pd.DataFrame(
+        {"doc_id": ["b"], "text": [texts[1]]}))).toPandas().iloc[0]
+    assert all(again[f"n_{k}"] == 0 for k in
+               ("email", "phone", "postcode", "sortcode", "account"))
+    assert first.loc["c", "has_pii"] == False  # noqa: E712
+
+
+def test_repetition_fractions_bounded(spark):
+    import pandas as pd  # noqa: F811
+
+    from universal_pdf_extractor_spark.datapipe.textstats import repetition_scores
+
+    texts = ["", "x", "a a a a a a a a", "l1\nl1\nl1\nl2",
+             "one two three\nfour five six\none two three"]
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [str(i) for i in range(len(texts))], "text": texts}))
+    out = repetition_scores(docs).toPandas()
+    for c in ("dup_line_frac", "dup_line_char_frac",
+              "top_2gram_frac", "dup_3gram_frac"):
+        assert ((out[c] >= 0.0) & (out[c] <= 1.0)).all(), c
+
+
+def test_components_of_keepers_are_singletons(spark):
+    """Re-running the closure on keeper self-pairs yields singleton
+    components (idempotence of the canonicalization)."""
+    import pandas as pd  # noqa: F811
+
+    from universal_pdf_extractor_spark.datapipe.dedup import dedup_components
+
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"a": ["d1", "d2"], "b": ["d2", "d3"], "jaccard": [0.9, 0.9]}))
+    out = dedup_components(pairs)
+    keepers = out.where("is_keeper")
+    # keeper set joined to itself on equality -> no cross edges
+    again = dedup_components(
+        keepers.selectExpr("doc_id as a", "doc_id as b",
+                           "1.0 as jaccard")).toPandas()
+    assert (again["component_size"] == 1).all()
+    assert (again["doc_id"] == again["keep_id"]).all()
