@@ -1933,25 +1933,75 @@ def _records_amounts_sql() -> str:
                     THEN {pivot(try_date("array_to_string(list_slice(toks, 1, 3), ' ')"))}
                     END AS p3
         FROM tails WHERE amt_idx IS NOT NULL),
+    grown AS (
+        SELECT *,
+               CASE WHEN p1 IS NOT NULL AND (p2 IS NULL OR p2 = p1) THEN 1
+                    WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p2 <> p1
+                         AND (p3 IS NULL OR p3 = p2) THEN 2
+                    WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p2 <> p1
+                         THEN CASE WHEN p3 IS NULL THEN 2 ELSE 3 END
+                    WHEN p1 IS NULL AND p2 IS NOT NULL
+                         AND (p3 IS NULL OR p3 = p2) THEN 2
+                    WHEN p1 IS NULL AND p2 IS NOT NULL
+                         THEN CASE WHEN p3 IS NULL THEN 2 ELSE 3 END
+                    WHEN p3 IS NOT NULL THEN 3 ELSE 0 END AS date_end
+        FROM dated),
     recs AS (
         SELECT conv_id, segment_index, turn_idx, line_ord,
-               CASE WHEN p1 IS NOT NULL AND (p2 IS NULL OR p2 = p1) THEN p1
-                    WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p2 <> p1
-                         AND (p3 IS NULL OR p3 = p2) THEN p2
-                    WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p2 <> p1
-                         THEN coalesce(p3, p2)
-                    WHEN p1 IS NULL AND p2 IS NOT NULL
-                         AND (p3 IS NULL OR p3 = p2) THEN p2
-                    WHEN p1 IS NULL AND p2 IS NOT NULL THEN coalesce(p3, p2)
-                    ELSE p3 END AS posted_date,
+               CASE date_end WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 END
+                   AS posted_date,
+               -- description = the tokens between the date and the
+               -- amount: continuation-line cells land as SECOND cells
+               -- in the description column and the field projection's
+               -- first-occurrence dedup drops them
+               -- (rows.extract_fields_from_row), so the opening line
+               -- alone carries the description
+               array_to_string(list_slice(toks, date_end + 1, amt_idx - 1),
+                               ' ') AS description_raw,
                {tok_cents_abs("toks[amt_idx]")} AS amount_cents
-        FROM dated)
+        FROM grown)
     SELECT conv_id, segment_index,
            CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, segment_index
                                    ORDER BY line_ord) - 1 AS INT) AS seq,
            CAST(turn_idx AS INT) AS turn_idx,
            posted_date, amount_cents
     FROM recs
+    """
+
+
+_DESC_KW_SQL = " OR ".join(
+    f"hl LIKE '%{w}%'" for w in ["description", "details", "particulars",
+                                 "narrative", "transaction"])
+
+
+def _records_descriptions_sql() -> str:
+    """Generated oracle for the main-path description column on the
+    REAL-header slice: segments whose detected header line maps a
+    DESCRIPTION keyword.  The corpus' wiped-turn segments can match a
+    pseudo-header (a data row containing two keywords), and on those
+    the role passes may leave description empty — geometry the
+    line-level view cannot see, so they are excluded by the same data
+    rule on both engines.  Continuation-line text never reaches
+    description (first-occurrence cell dedup), so the opening line's
+    middle tokens ARE the description."""
+    return rf"""{_records_amounts_sql().rsplit("SELECT conv_id, segment_index,", 1)[0]},
+    desc_gate AS (
+        SELECT f.conv_id, f.segment_index
+        FROM flagged f
+        JOIN headered h ON f.conv_id = h.conv_id
+                       AND f.segment_index = h.segment_index
+                       AND f.line_ord = h.header_ord
+        WHERE ({_DESC_KW_SQL.replace("hl", "lower(f.line)")})),
+    desc_rows AS (
+        SELECT r.conv_id, r.segment_index, r.line_ord, r.turn_idx,
+               r.description_raw, r.amount_cents
+        FROM recs r JOIN desc_gate USING (conv_id, segment_index))
+    SELECT conv_id, segment_index,
+           CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, segment_index
+                                   ORDER BY line_ord) - 1 AS INT) AS seq,
+           CAST(turn_idx AS INT) AS turn_idx,
+           description_raw, amount_cents
+    FROM desc_rows
     """
 
 
@@ -2458,6 +2508,55 @@ def transcripts_records_amounts(spark, sf_dir):
                     (F.col("amount") * 100).cast("long").alias("amount_cents")))
 
 
+@register("transcripts_records_descriptions", None)  # SQL attached below
+def transcripts_records_descriptions(spark, sf_dir):
+    """Main-path description column (W9), oracle-checked on the
+    real-header slice: the detected header line must map a DESCRIPTION
+    keyword, the same data rule the SQL side applies — wiped-turn
+    segments matching a pseudo-header (where role passes may leave
+    description empty) are excluded by construction.  See
+    _records_descriptions_sql for why the opening line's middle tokens
+    are exactly the engine's description."""
+    from .kernels.patterns import HEADER_KEYWORDS
+
+    out = _pipeline_outputs(spark, sf_dir)
+    rec = out["records"]
+    turns = out["turns"]
+
+    lines = turns.select(
+        "conv_id", "segment_index", "turn_idx",
+        F.posexplode(F.filter(
+            F.transform(F.split(F.coalesce("raw_text", F.lit("")), "\n"),
+                        lambda l: F.trim(F.regexp_replace(l, r"\s+", " "))),
+            lambda l: l != "")).alias("pos", "line"))
+    w0 = Window.partitionBy("conv_id", "segment_index").orderBy("turn_idx", "pos")
+    low = F.lower("line")
+    kw_count = None
+    for kw in sorted(HEADER_KEYWORDS):
+        term = low.contains(kw).cast("int")
+        kw_count = term if kw_count is None else kw_count + term
+    hdr = (lines.withColumn("_ord", F.row_number().over(w0))
+           .where((F.col("_ord") <= 10) & (kw_count >= 2))
+           .groupBy("conv_id", "segment_index")
+           .agg(F.lower(F.min_by("line", "_ord")).alias("hl")))
+    hl = F.col("hl")
+    desc_kw = (hl.contains("description") | hl.contains("details")
+               | hl.contains("particulars") | hl.contains("narrative")
+               | hl.contains("transaction"))
+    slice_segs = hdr.where(desc_kw).select("conv_id", "segment_index")
+    main = _mainroute_segments(spark, turns)
+
+    w = Window.partitionBy("conv_id", "segment_index").orderBy("row_index")
+    return (rec.where((~F.col("direction_source").isin(_FALLBACK_SOURCES))
+                      & F.col("amount").isNotNull())
+            .join(slice_segs, ["conv_id", "segment_index"])
+            .join(main, ["conv_id", "segment_index"])
+            .select("conv_id", "segment_index",
+                    (F.row_number().over(w) - 1).cast("int").alias("seq"),
+                    "turn_idx", "description_raw",
+                    (F.col("amount") * 100).cast("long").alias("amount_cents")))
+
+
 _MONEY_TOKEN_RE = ("^\\(?-?[" + chr(163) + chr(36) + chr(8364)
                    + r"]?(?:\d{1,3}(?:,\d{3})+|\d+)\.\d{2}\)?-?$")
 
@@ -2926,6 +3025,11 @@ def _attach_turns_sql() -> None:
     _REGISTRY["transcripts_records_headerless"] = (fn, f"""
     WITH {view},
     {_records_headerless_sql()}
+""")
+    fn, _ = _REGISTRY["transcripts_records_descriptions"]
+    _REGISTRY["transcripts_records_descriptions"] = (fn, f"""
+    WITH {view},
+    {_records_descriptions_sql()}
 """)
     fn, _ = _REGISTRY["transcripts_segments_balances"]
     _REGISTRY["transcripts_segments_balances"] = (fn, f"""
