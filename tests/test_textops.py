@@ -70,6 +70,16 @@ class TestPII:
         assert out["n_sortcode"] == 1
         assert out["n_account"] == 0
 
+    def test_preexisting_tag_literal_is_not_pii(self, spark):
+        """has_pii derives from the match counts: a document whose
+        ORIGINAL text contains a redaction tag like "[EMAIL]" must not
+        be flagged with all n_* counts zero."""
+        out = pii_scan(_docs(spark, ["quote: [EMAIL] is our tag"])) \
+            .toPandas().iloc[0]
+        assert all(out[f"n_{n}"] == 0
+                   for n in ("email", "phone", "postcode", "sortcode", "account"))
+        assert bool(out["has_pii"]) is False
+
 
 class TestDedupComponents:
     def test_transitive_chain_collapses_to_one_keeper(self, spark):
@@ -100,6 +110,20 @@ class TestDedupComponents:
         out = dedup_components(pairs).toPandas()
         assert (out["keep_id"] == "d00").all()
         assert (out["component_size"] == n).all()
+
+    def test_non_convergence_raises_not_wrong_labels(self, spark):
+        """A component whose diameter exceeds max_iterations must
+        raise — never return partially-propagated (wrong) labels."""
+        import pytest as _pytest
+        n = 8
+        pairs = spark.createDataFrame(pd.DataFrame({
+            "a": [f"d{i:02d}" for i in range(n - 1)],
+            "b": [f"d{i+1:02d}" for i in range(n - 1)],
+            "jaccard": [0.9] * (n - 1),
+        }))
+        from universal_pdf_extractor_spark.datapipe.dedup import dedup_components
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            dedup_components(pairs, max_iterations=2).toPandas()
 
 
 class TestDuplicateLines:
@@ -172,3 +196,22 @@ class TestJsonlSource:
             "{not json at all\n")
         with _pytest.raises(Exception):
             read_transcripts_jsonl(spark, str(p)).collect()
+
+    def test_keyless_row_fails_fast_not_silently_dropped(self, spark, tmp_path):
+        """Well-formed JSON missing conv_id/turn_idx must raise under
+        FAILFAST (the loud-failure contract), and be dropped only
+        under the documented PERMISSIVE triage mode."""
+        import pytest as _pytest
+        from universal_pdf_extractor_spark.io.sources import read_transcripts_jsonl
+
+        p = tmp_path / "keyless"
+        p.mkdir()
+        (p / "part.json").write_text(
+            '{"conv_id": "c1", "turn_idx": 0, "role": "user", '
+            '"text": "hi", "tool": null, "ts": "2024-01-01T00:00:00.000Z"}\n'
+            '{"role": "assistant", "text": "no keys here", "tool": null, '
+            '"ts": "2024-01-01T00:00:01.000Z"}\n')
+        with _pytest.raises(Exception, match="conv_id/turn_idx"):
+            read_transcripts_jsonl(spark, str(p)).collect()
+        rows = read_transcripts_jsonl(spark, str(p), mode="PERMISSIVE").collect()
+        assert [r.conv_id for r in rows] == ["c1"]

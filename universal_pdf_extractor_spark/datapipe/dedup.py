@@ -180,10 +180,12 @@ def dedup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     assigns every member its component's minimum doc_id — a
     deterministic canonical choice independent of iteration order.
     Rounds are whole distributed join+agg passes (O(diameter) of the
-    largest component, capped); at cluster scale swap in the
-    large-star/small-star variant with checkpointing every few rounds
-    — the per-round plan here is already that shape (join on label
-    keys, never text).
+    largest component); `max_iterations` is a safety valve only —
+    raises RuntimeError instead of returning non-converged (wrong)
+    labels if a component's diameter exceeds it.  At cluster scale
+    swap in the large-star/small-star variant with checkpointing
+    every few rounds — the per-round plan here is already that shape
+    (join on label keys, never text).
     """
     edges = (pairs.select("a", "b")
              .union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -191,6 +193,7 @@ def dedup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     labels = (edges.select(F.col("a").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id"))
               .localCheckpoint(eager=True))
+    changed = -1
     for _ in range(max_iterations):
         nbr = (edges.join(labels.withColumnRenamed("doc_id", "b")
                           .withColumnRenamed("label", "nbr_label"), "b")
@@ -212,6 +215,12 @@ def dedup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dedup_components did not converge within {max_iterations} "
+            f"min-label rounds ({changed} labels still moving); a "
+            "component's diameter exceeds the cap — raise max_iterations "
+            "(labels would be wrong if returned non-converged)")
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("component_size"))
     return (labels.join(sizes, "label")

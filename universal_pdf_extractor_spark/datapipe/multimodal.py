@@ -149,19 +149,29 @@ def decode_wav(payload: bytes) -> Optional[np.ndarray]:
     return np.frombuffer(data[:len(data) - len(data) % 2], dtype="<i2")
 
 
-def decode_media(payload: Optional[bytes], kind: str) -> Optional[np.ndarray]:
-    """payload bytes -> flat int64 signal.
+def decode_media_full(payload: Optional[bytes], kind: str,
+                      ) -> tuple[Optional[np.ndarray], Optional[tuple[int, int]]]:
+    """payload bytes -> (flat int64 signal, (height, width) | None).
 
     image/video: decoded pixels flattened row-major top-down RGB
-    (uint8 values); audio: int16 samples.  None for empty/malformed.
+    (uint8 values) plus the pixel-array shape from the SAME decode —
+    callers needing dimensions must not decode twice; audio: int16
+    samples, shape None.  (None, None) for empty/malformed.
     """
     if payload is None or len(payload) == 0:
-        return None
+        return None, None
     if kind == "audio":
         s = decode_wav(bytes(payload))
-        return None if s is None else s.astype(np.int64)
+        return (None, None) if s is None else (s.astype(np.int64), None)
     px = decode_bmp(bytes(payload))
-    return None if px is None else px.reshape(-1).astype(np.int64)
+    if px is None:
+        return None, None
+    return px.reshape(-1).astype(np.int64), (px.shape[0], px.shape[1])
+
+
+def decode_media(payload: Optional[bytes], kind: str) -> Optional[np.ndarray]:
+    """payload bytes -> flat int64 signal (see decode_media_full)."""
+    return decode_media_full(payload, kind)[0]
 
 
 def sample_frames(signal: np.ndarray, n_frames: int = 8) -> np.ndarray:
@@ -197,12 +207,11 @@ def extract_features(media: DataFrame, n_frames: int = 8) -> DataFrame:
             frames_sampled = np.zeros(n, dtype=np.int32)
             frame_sum = np.full(n, np.nan)
             for i, (p, k) in enumerate(zip(payloads, pdf["kind"])):
-                sig = decode_media(p, k)
+                sig, shape = decode_media_full(p, k)
                 if sig is None:
                     continue
-                if k != "audio":
-                    px = decode_bmp(p)
-                    height[i], width[i] = px.shape[0], px.shape[1]
+                if shape is not None:
+                    height[i], width[i] = shape
                 n_samples[i] = len(sig)
                 signal_sum[i] = int(sig.sum())
                 fr = sample_frames(sig, n_frames)

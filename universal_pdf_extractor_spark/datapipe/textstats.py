@@ -214,13 +214,20 @@ def pii_scan(documents: DataFrame, id_col: str = "doc_id",
     counts and the fully-redacted text, all native regexp ops."""
     cur = F.col(text_col)
     cols = [F.col(id_col).alias("doc_id")]
+    counts = []
     for name, pattern, repl in PII_RULES:
-        cols.append(F.size(F.regexp_extract_all(cur, F.lit(pattern), F.lit(0)))
-                    .cast("long").alias(f"n_{name}"))
+        cnt = F.size(F.regexp_extract_all(cur, F.lit(pattern), F.lit(0))).cast("long")
+        counts.append(cnt)
+        cols.append(cnt.alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pattern, repl)
     cols.append(F.sha2(cur, 256).alias("redacted_sha256"))
-    cols.append((F.size(F.regexp_extract_all(cur, F.lit(r"\[(?:EMAIL|PHONE|POSTCODE|SORTCODE|ACCOUNT)\]"), F.lit(0))) > 0)
-                .alias("has_pii"))
+    # has_pii comes from the match counts, NOT from re-scanning the
+    # redacted text for tag literals — a document whose ORIGINAL text
+    # contains "[EMAIL]" must not be flagged with all counts zero.
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    cols.append((total > 0).alias("has_pii"))
     return documents.select(*cols)
 
 

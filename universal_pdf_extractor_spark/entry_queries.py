@@ -1253,16 +1253,21 @@ def _pii_sql() -> str:
     from .datapipe.textstats import PII_RULES
     cur = "text"
     cols = []
+    count_exprs = []
     for name, pattern, repl in PII_RULES:
         pat = _sql_regex(pattern)
-        cols.append(f"len(regexp_extract_all({cur}, '{pat}')) AS n_{name}")
+        cnt = f"len(regexp_extract_all({cur}, '{pat}'))"
+        count_exprs.append(cnt)
+        cols.append(f"{cnt} AS n_{name}")
         cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
-    tag = _sql_regex(r"\[(?:EMAIL|PHONE|POSTCODE|SORTCODE|ACCOUNT)\]")
+    # has_pii from the match counts (not a re-scan of the redacted text
+    # for tag literals) — mirrors textstats.pii_scan exactly
+    total = " + ".join(count_exprs)
     return f"""
     SELECT doc_id,
            {', '.join(cols)},
            sha256({cur}) AS redacted_sha256,
-           len(regexp_extract_all({cur}, '{tag}')) > 0 AS has_pii
+           ({total}) > 0 AS has_pii
     FROM documents
     """
 
