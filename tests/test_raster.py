@@ -1,0 +1,179 @@
+"""Raster preprocessing path (SURVEY §2.7: S2 render + R1-R4).
+
+Mirrors the reference's renderer semantics (renderer.py:78-242):
+rotation only at conf > 0.5, deskew only at 0.5 < |angle| < 15, the
+confidence-keyed enhancement ladder with its exact thresholds, and
+enhancement skipped at mean confidence >= 0.85.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from universal_pdf_extractor_spark.datapipe.multimodal import decode_bmp
+from universal_pdf_extractor_spark.datapipe.raster import (
+    PAGES_SCHEMA,
+    PREPROC_SCHEMA,
+    adaptive_threshold_gaussian,
+    apply_enhancement,
+    clahe,
+    detect_orientation,
+    detect_skew_milli,
+    fix_orientation,
+    fix_skew,
+    morph_open,
+    otsu_threshold,
+    page_params,
+    preprocess_page_array,
+    preprocess_pages,
+    render_page,
+    render_pages,
+    shear,
+    synth_upright,
+    unshear,
+)
+
+
+def _page(seed=7, w=256, h=192):
+    return synth_upright(seed, w, h)
+
+
+class TestShear:
+    def test_roundtrip_exact_within_margins(self):
+        img = _page()
+        for milli in (-14750, -5000, -750, 750, 5000, 14750):
+            assert np.array_equal(unshear(shear(img, milli), milli), img)
+
+    def test_zero_is_identity(self):
+        img = _page()
+        assert np.array_equal(shear(img, 0), img)
+
+
+class TestOrientation:
+    @pytest.mark.parametrize("k", [0, 1, 2, 3])
+    def test_detects_all_four_rotations_with_confidence(self, k):
+        img = _page()
+        rotated = np.rot90(img, k)
+        rot_deg, conf = detect_orientation(rotated)
+        assert rot_deg == 90 * k
+        assert conf > 0.5                      # renderer.py:90 gate passes
+        assert np.array_equal(fix_orientation(rotated, rot_deg), img)
+
+
+class TestSkew:
+    def test_detects_synthesised_angle_exactly(self):
+        img = _page()
+        for milli in (-12000, -3250, 1500, 9750):
+            assert detect_skew_milli(shear(img, milli)) == milli
+
+    def test_correction_gate_boundaries(self):
+        """renderer.py:141: correct only when 0.5 < |angle| < 15 —
+        both boundaries are strict."""
+        img = _page()
+        for milli, applied in ((0, False), (500, False), (750, True),
+                               (14750, True), (15000, False)):
+            m = preprocess_page_array(shear(img, milli), 0.9)
+            assert m["skew_milli"] == milli
+            assert m["skew_applied"] is applied
+
+
+class TestEnhancement:
+    def test_profile_ladder_thresholds(self):
+        """renderer.py:180-210: A >=0.85, B >=0.70, C >=0.50, else D."""
+        img = _page()
+        for conf, profile in ((0.9, "A_mild_contrast"),
+                              (0.85, "A_mild_contrast"),
+                              (0.84, "B_adaptive_threshold"),
+                              (0.70, "B_adaptive_threshold"),
+                              (0.69, "C_denoise_sharpen"),
+                              (0.50, "C_denoise_sharpen"),
+                              (0.49, "D_high_contrast")):
+            _, got = apply_enhancement(img, conf)
+            assert got == profile, conf
+
+    def test_preprocess_skips_enhancement_at_high_confidence(self):
+        """renderer.py:239-240: profile A is reachable only by calling
+        apply_enhancement directly; the R4 pipeline skips at >=0.85."""
+        m = preprocess_page_array(_page(), 0.9)
+        assert m["profile"] == "none"
+        m = preprocess_page_array(_page(), 0.80)
+        assert m["profile"] == "B_adaptive_threshold"
+
+    def test_threshold_outputs_are_binary(self):
+        img = _page()
+        for out in (adaptive_threshold_gaussian(img),
+                    otsu_threshold(img),
+                    apply_enhancement(img, 0.75)[0],
+                    apply_enhancement(img, 0.6)[0],
+                    apply_enhancement(img, 0.3)[0]):
+            assert set(np.unique(out)).issubset({0, 255})
+
+    def test_clahe_preserves_shape_and_range(self):
+        img = _page()
+        out = clahe(img, 2.0)
+        assert out.shape == img.shape and out.dtype == np.uint8
+
+    def test_morph_open_removes_isolated_speck(self):
+        img = np.full((32, 32), 255, dtype=np.uint8)
+        img[10, 10] = 0                       # 1-px dark speck
+        img[20:23, 5:25] = 0                  # 3-px-thick bar survives
+        opened = 255 - morph_open(255 - img)  # open on ink
+        assert opened[10, 10] == 255
+        assert (opened[21, 6:24] == 0).all()
+
+
+class TestRenderAndDetectRoundtrip:
+    def test_ground_truth_recovered_from_pixels(self):
+        for seed in (3, 1009, 777777, 123456789012):
+            payload, p = render_page(seed)
+            gray = decode_bmp(payload)[:, :, 0]
+            m = preprocess_page_array(gray, p["conf_micros"] / 1e6)
+            assert m["orientation_detected"] == p["rot_deg"]
+            assert m["rotation_applied"] is (p["rot_deg"] != 0)
+            assert m["skew_milli"] == p["skew_milli"]
+            assert (m["width"], m["height"]) == (p["base_w"], p["base_h"])
+
+    def test_render_is_deterministic(self):
+        a, _ = render_page(42)
+        b, _ = render_page(42)
+        assert hashlib.sha256(a).hexdigest() == hashlib.sha256(b).hexdigest()
+
+    def test_degenerate_quarter_degree_never_synthesised(self):
+        from universal_pdf_extractor_spark.datapipe.raster import SKEW_STEP_MILLI
+        assert all(abs(page_params(s)["skew_milli"]) != SKEW_STEP_MILLI
+                   for s in range(2000))
+
+
+class TestSparkStages:
+    def test_render_preprocess_matches_local_kernels(self, spark):
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [f"doc{i}" for i in range(12)]}))
+        pages = render_pages(docs)
+        assert [f.name for f in pages.schema.fields] \
+            == [f.name for f in PAGES_SCHEMA.fields]
+        pp = pages.toPandas().set_index("doc_id")
+        out = preprocess_pages(pages).toPandas().set_index("doc_id")
+        assert [f.name for f in PREPROC_SCHEMA.fields][1:] \
+            == list(out.columns)
+        for doc_id, row in pp.iterrows():
+            gray = decode_bmp(bytes(row["payload"]))[:, :, 0]
+            m = preprocess_page_array(gray, int(row["conf_micros"]) / 1e6)
+            got = out.loc[doc_id]
+            for col in ("width", "height", "orientation_detected",
+                        "orientation_conf_milli", "rotation_applied",
+                        "skew_milli", "skew_applied", "profile",
+                        "out_sha256", "ink_ratio_micros"):
+                assert got[col] == m[col], (doc_id, col)
+            # detection recovered the stored ground truth
+            assert got["orientation_detected"] == row["rot_deg"]
+            assert got["skew_milli"] == row["skew_milli"]
+
+    def test_malformed_payload_fails_soft(self, spark):
+        pdf = pd.DataFrame({"doc_id": ["bad"], "payload": [b"not a bmp"],
+                            "conf_micros": [900000]})
+        out = preprocess_pages(spark.createDataFrame(pdf)).toPandas().iloc[0]
+        assert out["profile"] is None and pd.isna(out["orientation_detected"])

@@ -1,0 +1,523 @@
+"""Raster preprocessing path — SURVEY §2.7 (S2 render + R1-R4).
+
+Reimplements the reference's page-image preprocessing semantics
+(renderer.py:37-242) as pure-numpy kernels wired into Spark
+``mapInPandas`` stages over a binary page-bitmap column — the same
+opaque-binary-column shape as datapipe/multimodal.py, which is the
+correct 100 TB shape: embarrassingly parallel, zero shuffle, Arrow
+batch transfer, column-pruned scans (only ``payload`` + keys ship to
+Python).
+
+What is REAL vs what is a stand-in (the container has no poppler /
+tesseract / cv2):
+
+  - S2 ``render_pdf_pages`` (renderer.py:37-73): the pdf2image call
+    is replaced by a DETERMINISTIC synthetic rasteriser that draws a
+    document-like page (header band + seeded text-line bands) and
+    encodes it as a real 24-bit BMP.  Everything around it — the
+    per-page schema (page_index, width, height, dpi), the binary
+    payload column, the Arrow/mapInPandas plumbing — is real.
+  - R1 ``detect_and_fix_orientation`` (renderer.py:78-100): Tesseract
+    OSD is replaced by projection-profile orientation detection
+    (axis choice by row-sum variance, 0-vs-180 flip by ink-mass
+    asymmetry — the classic Postl-style method).  The DECISION RULE
+    is the reference's: rotate only when rotation != 0 and
+    confidence > 0.5 (renderer.py:90).
+  - R2 ``detect_and_fix_skew`` (renderer.py:105-161): Canny +
+    HoughLinesP median-angle is replaced by projection-profile shear
+    search (maximise row-sum variance over a ±15° grid).  The
+    decision rule is the reference's: correct only when
+    0.5 < |angle| < 15 (renderer.py:141).
+  - R3 ``apply_enhancement`` (renderer.py:166-216): the four
+    confidence-keyed profiles with the same thresholds and structure
+    — A CLAHE(2.0) at conf>=0.85, B adaptive-gaussian-threshold(11,2)
+    at >=0.70, C bilateral(9,75,75)+sharpen+adaptive-threshold at
+    >=0.50, else D CLAHE(4.0)+2x2-morph-open+Otsu — with cv2
+    primitives re-implemented in numpy (tile-interpolated CLAHE,
+    separable gaussian local mean, shift-stacked bilateral, Otsu).
+    Semantic parity, not cv2 bit-parity.
+  - R4 ``preprocess_page`` (renderer.py:221-242): orientation → skew
+    → enhancement, with enhancement SKIPPED when mean confidence
+    >= 0.85 (renderer.py:239-240) — so profile A is reachable only by
+    calling apply_enhancement directly, exactly as in the reference.
+
+Correctness gating: pages are synthesised with known ground-truth
+(rotation, skew on the detector's 0.25° grid, confidence bucket); the
+engine detects from PIXELS ONLY, and the DuckDB oracle re-derives the
+expected outputs from the snapshot's parameter columns — so a
+detection defect (wrong rot90 direction, off-by-one shear, wrong
+profile ladder) breaks the driver value-hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .multimodal import decode_bmp, encode_bmp
+
+# ── page geometry / parameter grids (shared with the SQL oracle) ────
+PAGE_DPI = 96                      # scaled stand-in for the 300-dpi render
+BASE_W = (224, 256, 288)           # seeded page widths
+BASE_H = (160, 192, 224)           # seeded page heights
+SKEW_STEP_MILLI = 250              # 0.25° detector grid
+SKEW_MAX_MILLI = 15000             # ±15° search range (renderer.py:141)
+CONF_BASES = (900000, 780000, 600000, 400000)   # micros: none/B/C/D buckets
+# affine parameter mixers (same spirit as multimodal.PIX_A family)
+RR_A, RS_A, RC_A, RW_A, RH_A, RL_A = 2654435761, 40503, 69621, 362437, 104729, 7919
+
+PAGES_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("page_index", IntegerType(), False),
+    StructField("payload", BinaryType(), False),
+    StructField("width", IntegerType(), False),    # as-stored (rotated) dims
+    StructField("height", IntegerType(), False),
+    StructField("dpi", IntegerType(), False),
+    # ground-truth synthesis parameters — carried for the ORACLE only;
+    # preprocess_pages never reads them
+    StructField("rot_deg", IntegerType(), False),
+    StructField("skew_milli", LongType(), False),
+    StructField("conf_micros", LongType(), False),
+    StructField("base_w", IntegerType(), False),
+    StructField("base_h", IntegerType(), False),
+])
+
+PREPROC_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("width", IntegerType(), True),      # corrected (upright) dims
+    StructField("height", IntegerType(), True),
+    StructField("orientation_detected", IntegerType(), True),
+    StructField("orientation_conf_milli", LongType(), True),
+    StructField("rotation_applied", BooleanType(), True),
+    StructField("skew_milli", LongType(), True),
+    StructField("skew_applied", BooleanType(), True),
+    StructField("profile", StringType(), True),
+    StructField("out_sha256", StringType(), True),
+    StructField("ink_ratio_micros", LongType(), True),
+])
+
+
+def page_params(seed: int) -> dict:
+    """Deterministic synthesis parameters from an integer seed.
+
+    Mixers are coprime multipliers so the (rotation, skew, confidence,
+    size) axes decorrelate across consecutive seeds."""
+    rot_deg = 90 * ((seed * RR_A) % 4)
+    skew_milli = ((seed * RS_A) % (2 * (SKEW_MAX_MILLI // SKEW_STEP_MILLI) + 1)
+                  - SKEW_MAX_MILLI // SKEW_STEP_MILLI) * SKEW_STEP_MILLI
+    if abs(skew_milli) == SKEW_STEP_MILLI:
+        # ±0.25° is degenerate on the narrower page sizes: the integer
+        # shear shifts no ink column (max offset < 0.5 px), making the
+        # true angle pixel-identical to 0 — synthesise 0 instead so the
+        # ground truth stays recoverable from pixels
+        skew_milli = 0
+    conf_micros = CONF_BASES[(seed * RC_A) % 4] + (seed * RL_A) % 40000
+    return {
+        "rot_deg": int(rot_deg),
+        "skew_milli": int(skew_milli),
+        "conf_micros": int(conf_micros),
+        "base_w": BASE_W[(seed * RW_A) % 3],
+        "base_h": BASE_H[(seed * RH_A) % 3],
+    }
+
+
+# ── synthetic rasteriser (the deterministic pdf2image stand-in) ─────
+
+def synth_upright(seed: int, w: int, h: int) -> np.ndarray:
+    """Draw an upright grayscale 'document page': white background, a
+    heavy dark header band in the top quarter (the 0-vs-180 flip
+    signal), and seeded horizontal text-line bands in the middle.
+    Content keeps >=25% vertical margin so a ±15° shear never clips
+    ink off the page (max column shift = tan(15°)·w/2 < h/4 for the
+    page sizes used here)."""
+    page = np.full((h, w), 255, dtype=np.uint8)
+    x0, x1 = w // 16, w - w // 16
+    top = h // 4
+    # header band: rows [top, top + h//8)
+    hdr_h = h // 8
+    page[top:top + hdr_h, x0:x1] = 20
+    # text-line bands between header and the 3/4 line
+    y = top + hdr_h + 6
+    limit = 3 * h // 4
+    s = seed * 1000003 + 12345
+    while y + 3 < limit:
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        thick = 2 + (s >> 5) % 2
+        shade = 60 + (s >> 17) % 120
+        indent = (s >> 29) % (w // 8)
+        page[y:y + thick, x0 + indent:x1] = shade
+        y += thick + 4 + (s >> 41) % 4
+    return page
+
+
+def _col_shifts(w: int, milli: int) -> np.ndarray:
+    """Per-column integer vertical shift for a shear of angle
+    milli/1000 degrees: d(x) = round(tan(θ)·(x − w//2)) — positive
+    angle pushes right-side columns DOWN (image y grows downward),
+    matching the reference's line-angle convention
+    (arctan2(y2−y1, x2−x1), renderer.py:130)."""
+    t = math.tan(math.radians(milli / 1000.0))
+    xs = np.arange(w) - w // 2
+    return np.rint(t * xs).astype(np.int64)
+
+
+def shear(img: np.ndarray, milli: int, fill: int = 255) -> np.ndarray:
+    """Apply the integer-column shear (the synthesis direction)."""
+    h, w = img.shape
+    out = np.full_like(img, fill)
+    for s in np.unique(_col_shifts(w, milli)):
+        cols = _col_shifts(w, milli) == s
+        if s >= 0:
+            out[s:, cols] = img[:h - s, cols]
+        else:
+            out[:h + s, cols] = img[-s:, cols]
+    return out
+
+
+def unshear(img: np.ndarray, milli: int, fill: int = 255) -> np.ndarray:
+    """Inverse of shear (the correction direction): exact on any ink
+    that stayed in-frame, which the synth margins guarantee."""
+    return shear(img, -milli, fill)
+
+
+def render_page(seed: int) -> Tuple[bytes, dict]:
+    """Full synthetic render: upright draw → shear by the ground-truth
+    skew → rot90 by the ground-truth rotation → BMP bytes."""
+    p = page_params(seed)
+    img = synth_upright(seed, p["base_w"], p["base_h"])
+    img = shear(img, p["skew_milli"])
+    img = np.rot90(img, p["rot_deg"] // 90)
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    p["height"], p["width"] = img.shape
+    return encode_bmp(np.ascontiguousarray(rgb)), p
+
+
+def render_pages(docs: DataFrame, limit: int = 1024,
+                 id_col: str = "doc_id") -> DataFrame:
+    """S2 analogue (renderer.py:37-73): documents → one rendered page
+    row each (page bitmaps as a binary column + geometry metadata).
+
+    Deterministic: the seed is a stable function of the doc_id bytes,
+    so re-rendering after a resume produces identical payloads."""
+    slim = docs.select(id_col).orderBy(id_col).limit(limit)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col].tolist():
+                seed = int.from_bytes(
+                    hashlib.md5(str(doc_id).encode()).digest()[:6], "big")
+                payload, p = render_page(seed)
+                rows.append((str(doc_id), 0, payload, p["width"], p["height"],
+                             PAGE_DPI, p["rot_deg"], p["skew_milli"],
+                             p["conf_micros"], p["base_w"], p["base_h"]))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in PAGES_SCHEMA.fields])
+
+    return slim.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+# ── R1: orientation (renderer.py:78-100) ────────────────────────────
+
+def detect_orientation(gray: np.ndarray) -> Tuple[int, float]:
+    """Projection-profile orientation: the 0°/180° axis has maximal
+    row-sum variance (horizontal text bands align), the flip within
+    the axis is chosen by ink-mass asymmetry (header-heavy top half).
+    Returns (rotation_deg, confidence) where rotation_deg is the
+    rot90-count·90 that ``fix_orientation`` must undo — the OSD
+    'rotate'/'orientation_conf' analogue (renderer.py:87-89)."""
+    ink = (255.0 - gray.astype(np.float64))
+    v = []
+    for k in (0, 1):
+        cand = np.rot90(ink, -k)
+        v.append(cand.sum(axis=1).var())
+    axis = 0 if v[0] >= v[1] else 1
+    axis_conf = 1.0 - (min(v) / max(v) if max(v) > 0 else 1.0)
+    cand = np.rot90(ink, -axis)
+    h = cand.shape[0]
+    top, bot = cand[:h // 2].sum(), cand[h - h // 2:].sum()
+    flip_conf = abs(top - bot) / (top + bot) if (top + bot) > 0 else 0.0
+    k = axis if top >= bot else axis + 2
+    return 90 * k, min(axis_conf, 2.0 * flip_conf)
+
+
+def fix_orientation(img: np.ndarray, rot_deg: int) -> np.ndarray:
+    """Undo a detected rotation (page was rot90'd CCW by rot_deg)."""
+    return np.rot90(img, -(rot_deg // 90))
+
+
+# ── R2: skew (renderer.py:105-161) ──────────────────────────────────
+
+def detect_skew_milli(gray: np.ndarray) -> int:
+    """Projection-profile shear search: the candidate angle whose
+    inverse shear maximises row-sum variance of the ink is the page's
+    skew.  Replaces the Hough-median estimate with the same output
+    contract (degrees, sign per the reference's line-angle
+    convention); grid is ±15° at 0.25°."""
+    ink = (255.0 - gray.astype(np.float64))
+    h, w = ink.shape
+    prof = ink.T                                   # (w, h) column profiles
+    xs = np.arange(w) - w // 2
+    m = int(math.tan(math.radians(SKEW_MAX_MILLI / 1000.0)) * (w // 2)) + 2
+    best_var, best_milli = -1.0, 0
+    # candidate order = increasing |angle|, positive first: exact ties
+    # (shears that are pixel-identical on this page width) resolve to
+    # the smallest-magnitude angle, deterministically
+    order = sorted(range(-SKEW_MAX_MILLI, SKEW_MAX_MILLI + 1, SKEW_STEP_MILLI),
+                   key=lambda mi: (abs(mi), mi < 0))
+    for milli in order:
+        t = math.tan(math.radians(milli / 1000.0))
+        d = np.rint(t * xs).astype(np.int64)
+        acc = np.zeros(h + 2 * m)
+        # inverse shear: column x contributes its profile at offset -d(x)
+        for s in np.unique(d):
+            acc[m - s:m - s + h] += prof[d == s].sum(axis=0)
+        var = acc[m:m + h].var()
+        if var > best_var:
+            best_var, best_milli = var, milli
+    return best_milli
+
+
+def fix_skew(img: np.ndarray, milli: int) -> np.ndarray:
+    return unshear(img, milli)
+
+
+# ── R3 kernels (renderer.py:166-216, cv2 primitives in numpy) ──────
+
+def clahe(gray: np.ndarray, clip_limit: float, tiles: int = 8) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalisation with bilinear
+    interpolation between the tile mappings (the standard CLAHE
+    algorithm; cv2.createCLAHE analogue)."""
+    h, w = gray.shape
+    ty = np.linspace(0, h, tiles + 1).astype(int)
+    tx = np.linspace(0, w, tiles + 1).astype(int)
+    luts = np.zeros((tiles, tiles, 256))
+    for i in range(tiles):
+        for j in range(tiles):
+            tile = gray[ty[i]:ty[i + 1], tx[j]:tx[j + 1]]
+            hist = np.bincount(tile.reshape(-1), minlength=256).astype(np.float64)
+            clip = max(1.0, clip_limit * tile.size / 256.0)
+            excess = np.maximum(hist - clip, 0).sum()
+            hist = np.minimum(hist, clip) + excess / 256.0
+            cdf = hist.cumsum()
+            cdf = cdf / cdf[-1] if cdf[-1] > 0 else cdf
+            luts[i, j] = np.clip(np.rint(cdf * 255.0), 0, 255)
+    cy = (ty[:-1] + ty[1:]) / 2.0
+    cx = (tx[:-1] + tx[1:]) / 2.0
+    yy = np.arange(h)[:, None]
+    xx = np.arange(w)[None, :]
+    iy = np.clip(np.searchsorted(cy, yy.ravel()) - 1, 0, tiles - 2)
+    ix = np.clip(np.searchsorted(cx, xx.ravel()) - 1, 0, tiles - 2)
+    iy = iy.reshape(h, 1)
+    ix = ix.reshape(1, w)
+    fy = np.clip((yy - cy[iy]) / (cy[iy + 1] - cy[iy]), 0, 1)
+    fx = np.clip((xx - cx[ix]) / (cx[ix + 1] - cx[ix]), 0, 1)
+    g = gray.astype(int)
+    iyb = np.broadcast_to(iy, (h, w))
+    ixb = np.broadcast_to(ix, (h, w))
+    v00 = luts[iyb, ixb, g]
+    v01 = luts[iyb, ixb + 1, g]
+    v10 = luts[iyb + 1, ixb, g]
+    v11 = luts[iyb + 1, ixb + 1, g]
+    out = (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+           + v10 * fy * (1 - fx) + v11 * fy * fx)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _gauss_kernel(ksize: int, sigma: float) -> np.ndarray:
+    xs = np.arange(ksize) - (ksize - 1) / 2.0
+    k = np.exp(-(xs ** 2) / (2 * sigma ** 2))
+    return k / k.sum()
+
+
+def _sep_conv_replicate(img: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Separable 2-D convolution with replicate borders via two banded
+    matrix products (pages are small; BLAS beats python loops)."""
+    r = len(k) // 2
+    h, w = img.shape
+
+    def band(n: int) -> np.ndarray:
+        m = np.zeros((n, n))
+        for o, kv in zip(range(-r, r + 1), k):
+            idx = np.clip(np.arange(n) + o, 0, n - 1)
+            m[np.arange(n), idx] += kv
+        return m
+
+    return band(h) @ img.astype(np.float64) @ band(w).T
+
+
+def adaptive_threshold_gaussian(gray: np.ndarray, block: int = 11,
+                                c: float = 2.0) -> np.ndarray:
+    """cv2.adaptiveThreshold(ADAPTIVE_THRESH_GAUSSIAN_C, THRESH_BINARY,
+    block, C) analogue: 255 where pixel > gaussian-local-mean − C."""
+    sigma = 0.3 * ((block - 1) * 0.5 - 1) + 0.8     # cv2 default sigma
+    mean = _sep_conv_replicate(gray, _gauss_kernel(block, sigma))
+    return np.where(gray.astype(np.float64) > mean - c, 255, 0).astype(np.uint8)
+
+
+def bilateral(gray: np.ndarray, d: int = 9, sigma_color: float = 75.0,
+              sigma_space: float = 75.0) -> np.ndarray:
+    """Bilateral filter via shift-stacking (window d×d, gaussian
+    spatial × gaussian range weights)."""
+    r = d // 2
+    img = gray.astype(np.float64)
+    pad = np.pad(img, r, mode="edge")
+    h, w = img.shape
+    num = np.zeros((h, w))
+    den = np.zeros((h, w))
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            sw = math.exp(-(dx * dx + dy * dy) / (2 * sigma_space ** 2))
+            nb = pad[r + dy:r + dy + h, r + dx:r + dx + w]
+            rw = np.exp(-((nb - img) ** 2) / (2 * sigma_color ** 2)) * sw
+            num += rw * nb
+            den += rw
+    return np.clip(np.rint(num / den), 0, 255).astype(np.uint8)
+
+
+def sharpen(gray: np.ndarray) -> np.ndarray:
+    """3×3 kernel [[-1,-1,-1],[-1,9,-1],[-1,-1,-1]] (renderer.py:196),
+    replicate border, saturating uint8 like cv2.filter2D."""
+    img = gray.astype(np.float64)
+    pad = np.pad(img, 1, mode="edge")
+    h, w = img.shape
+    out = 9.0 * img
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            out -= pad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def morph_open(gray: np.ndarray, k: int = 2) -> np.ndarray:
+    """Grayscale opening (erosion then dilation) with a k×k kernel
+    (renderer.py:206-207)."""
+    def erode(img):
+        pad = np.pad(img, ((0, k - 1), (0, k - 1)), mode="edge")
+        out = img.copy()
+        for dy in range(k):
+            for dx in range(k):
+                out = np.minimum(out, pad[dy:dy + img.shape[0],
+                                          dx:dx + img.shape[1]])
+        return out
+
+    def dilate(img):
+        pad = np.pad(img, ((k - 1, 0), (k - 1, 0)), mode="edge")
+        out = img.copy()
+        for dy in range(k):
+            for dx in range(k):
+                out = np.maximum(out, pad[dy:dy + img.shape[0],
+                                          dx:dx + img.shape[1]])
+        return out
+
+    return dilate(erode(gray))
+
+
+def otsu_threshold(gray: np.ndarray) -> np.ndarray:
+    """Otsu global binarisation (renderer.py:208)."""
+    hist = np.bincount(gray.reshape(-1), minlength=256).astype(np.float64)
+    total = hist.sum()
+    levels = np.arange(256)
+    w0 = hist.cumsum()
+    m0 = (hist * levels).cumsum()
+    mean_total = m0[-1] / total
+    w1 = total - w0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu0 = m0 / w0
+        mu1 = (m0[-1] - m0) / w1
+        between = w0 * w1 * (mu0 - mu1) ** 2
+    between[np.isnan(between)] = 0
+    t = int(np.argmax(between))
+    return np.where(gray > t, 255, 0).astype(np.uint8)
+
+
+def apply_enhancement(gray: np.ndarray,
+                      mean_confidence: float) -> Tuple[np.ndarray, str]:
+    """Confidence-keyed enhancement ladder (renderer.py:166-216):
+    thresholds and profile structure exactly as the reference."""
+    if mean_confidence >= 0.85:
+        return clahe(gray, 2.0), "A_mild_contrast"
+    if mean_confidence >= 0.70:
+        return adaptive_threshold_gaussian(gray, 11, 2), "B_adaptive_threshold"
+    if mean_confidence >= 0.50:
+        den = bilateral(gray, 9, 75, 75)
+        return (adaptive_threshold_gaussian(sharpen(den), 11, 2),
+                "C_denoise_sharpen")
+    contrast = clahe(gray, 4.0)
+    return otsu_threshold(morph_open(contrast, 2)), "D_high_contrast"
+
+
+def preprocess_page_array(gray: np.ndarray, mean_confidence: float) -> dict:
+    """R4 (renderer.py:221-242): orientation → skew → enhancement,
+    with enhancement skipped at mean_confidence >= 0.85 (profile
+    'none', renderer.py:239-240)."""
+    rot_deg, conf = detect_orientation(gray)
+    rotation_applied = bool(rot_deg != 0 and conf > 0.5)    # renderer.py:90
+    if rotation_applied:
+        gray = fix_orientation(gray, rot_deg)
+    milli = detect_skew_milli(gray)
+    skew_applied = 500 < abs(milli) < 15000                 # renderer.py:141
+    if skew_applied:
+        gray = fix_skew(gray, milli)
+    if mean_confidence < 0.85:
+        gray, profile = apply_enhancement(gray, mean_confidence)
+    else:
+        profile = "none"
+    ink = int((255 - gray.astype(np.int64)).sum())
+    return {
+        "height": gray.shape[0], "width": gray.shape[1],
+        "orientation_detected": rot_deg,
+        "orientation_conf_milli": int(round(conf * 1000)),
+        "rotation_applied": rotation_applied,
+        "skew_milli": milli,
+        "skew_applied": skew_applied,
+        "profile": profile,
+        "out_sha256": hashlib.sha256(gray.tobytes()).hexdigest(),
+        "ink_ratio_micros": ink * 1000000 // (255 * gray.size),
+    }
+
+
+def preprocess_pages(pages: DataFrame) -> DataFrame:
+    """R1-R4 as one shuffle-free mapInPandas stage: BMP payload in,
+    per-page preprocessing metrics out.  Reads ONLY (doc_id, payload,
+    conf_micros) — detection works on pixels, never on the snapshot's
+    ground-truth parameter columns."""
+    slim = pages.select("doc_id", "payload", "conf_micros")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, conf_micros in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["conf_micros"]):
+                px = decode_bmp(bytes(payload)) if payload is not None else None
+                if px is None:
+                    rows.append((doc_id, None, None, None, None, None,
+                                 None, None, None, None, None))
+                    continue
+                gray = px[:, :, 0]                  # r==g==b by construction
+                m = preprocess_page_array(gray, int(conf_micros) / 1e6)
+                rows.append((doc_id, m["width"], m["height"],
+                             m["orientation_detected"],
+                             m["orientation_conf_milli"],
+                             m["rotation_applied"], m["skew_milli"],
+                             m["skew_applied"], m["profile"],
+                             m["out_sha256"], m["ink_ratio_micros"]))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in PREPROC_SCHEMA.fields])
+
+    return slim.mapInPandas(run, schema=PREPROC_SCHEMA)

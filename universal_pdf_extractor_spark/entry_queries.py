@@ -950,6 +950,192 @@ def multimodal_features(spark, sf_dir):
             .join(digest, "media_id"))
 
 
+RASTER_SNAPSHOT = "/tmp/updx_oracle_inputs/raster_pages.parquet"
+_RASTER_WRITTEN: set[int] = set()
+
+
+def _raster_sql() -> str:
+    """Oracle for the raster preprocessing path (SURVEY §2.7, S2 +
+    R1-R4): the engine detects orientation / skew / profile from the
+    page PIXELS alone, while the oracle re-derives the expected
+    outputs from the snapshot's ground-truth synthesis parameters and
+    the reference's decision rules (rotate when rot!=0 & conf>0.5,
+    deskew when 0.5<|angle|<15, profile ladder 0.85/0.70/0.50 with
+    enhancement skipped at >=0.85 — renderer.py:90,141,214-240).  A
+    wrong rot90 direction, an off-by-one shear, or a mis-ordered
+    profile ladder breaks the hash."""
+    return f"""
+    SELECT doc_id,
+           CAST(base_w AS INT) AS width,
+           CAST(base_h AS INT) AS height,
+           CAST(rot_deg AS INT) AS orientation_detected,
+           rot_deg <> 0 AS rotation_applied,
+           CAST(skew_milli AS BIGINT) AS skew_milli,
+           (abs(skew_milli) > 500 AND abs(skew_milli) < 15000) AS skew_applied,
+           CASE WHEN conf_micros >= 850000 THEN 'none'
+                WHEN conf_micros >= 700000 THEN 'B_adaptive_threshold'
+                WHEN conf_micros >= 500000 THEN 'C_denoise_sharpen'
+                ELSE 'D_high_contrast' END AS profile,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           sha256(lower(hex(payload))) AS payload_digest
+    FROM read_parquet('{RASTER_SNAPSHOT}/*.parquet')
+    """
+
+
+@register("raster_preprocess", None)  # SQL attached below
+def raster_preprocess(spark, sf_dir):
+    """Raster page preprocessing (S2 render + R1 orientation + R2
+    deskew + R3 enhancement + R4 composition, renderer.py:37-242):
+    documents -> deterministic synthetic page bitmaps (real BMP bytes
+    in a binary column) -> one shuffle-free mapInPandas pass that
+    detects orientation and skew from pixels, corrects them, and
+    applies the confidence-keyed enhancement ladder.  Oracle-checked
+    against the snapshot's ground-truth parameters (_raster_sql)."""
+    from .datapipe.raster import preprocess_pages, render_pages
+    docs = _read(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    pages = render_pages(docs)
+    if _RASTER_WRITTEN != {n_docs}:   # re-key per sf_dir, like _ensure_snapshot
+        pages.write.mode("overwrite").parquet(RASTER_SNAPSHOT)
+        _RASTER_WRITTEN.clear()
+        _RASTER_WRITTEN.add(n_docs)
+    snap = spark.read.parquet(RASTER_SNAPSHOT)
+    meta = snap.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2(F.lower(F.hex("payload")), 256).alias("payload_digest"))
+    out = preprocess_pages(snap)
+    # orientation_conf / out_sha256 / ink_ratio are engine-measured
+    # diagnostics with no SQL re-derivation; they stay pytest-pinned
+    # (tests/test_raster.py) while the detection outcomes are hashed
+    return (out.select("doc_id", "width", "height", "orientation_detected",
+                       "rotation_applied", "skew_milli", "skew_applied",
+                       "profile")
+            .join(F.broadcast(meta), "doc_id"))
+
+
+def _review_scored_slice(spark, sf_dir):
+    """Exact-integer conversation scoring over the REAL pipeline
+    records restricted to the two fully-oracled fallback tiers
+    (delim_table + row_pattern).  Mirrors the stages/score.py ladder
+    (confidence_scorer.py:26-148) in BIGINT arithmetic so the DuckDB
+    oracle can re-derive it without cross-engine float/rounding
+    hazards: per-record confidences become basis points (the engine's
+    tier constants, segment_extract.py:497-602), the weighted document
+    score becomes exact floor-micros
+
+        confidence_micros = (550000*n_reconciled + 10*M) DIV n,
+        M = sum(2*dir_bp + amt_bp + date_bp)
+
+    (0.35*recon + 0.25*0.8*recon collapses to 0.55*recon since
+    mean_balance_confidence is 0.8*recon, orchestrator.py:398), and
+    every gate/warning/threshold test is an integer comparison
+    (floor preserves >= against integer thresholds).  The engine's
+    real confidence columns feed the sums — a tier that assigned the
+    wrong confidence, direction, or balance_confirmed breaks the hash.
+    NO_TRANSACTIONS (needs zero-record convs) and the balance-mismatch
+    gate (needs segment balances, dropped from the records output)
+    cannot fire on this slice; NEEDS_REVIEW is reachable only via the
+    threshold band."""
+    from .stages.score import score_records_exact
+    rec = _pipeline_outputs(spark, sf_dir)["records"]
+    return score_records_exact(
+        rec.where(F.col("direction_source").isin("delim_table",
+                                                 "row_pattern")))
+
+
+def _review_routed_ctes() -> str:
+    """Oracle CTE chain for the review queue: the two tier record
+    oracles unioned with their fixed tier confidences
+    (segment_extract.py:497 delim 0.82/0.82/0.90/0.40, :600 pattern
+    0.75/0.75/0.85/0.40, date-missing 0.30), the integer scoring
+    ladder of _review_scored_slice re-derived (balance_confirmed is
+    false by fallback-tier contract, so the recon terms vanish), and
+    the routing policy of io/review.py:route_to_review."""
+    return f"""
+    rq_slice AS (
+        SELECT conv_id, 8200 AS amt_bp,
+               CASE WHEN posted_date IS NOT NULL THEN 8200 ELSE 3000 END
+                   AS date_bp,
+               CASE WHEN direction <> 'UNKNOWN' THEN 9000 ELSE 4000 END
+                   AS dir_bp,
+               direction
+        FROM (WITH {_records_delim_sql()})
+        UNION ALL
+        SELECT conv_id, 7500,
+               CASE WHEN posted_date IS NOT NULL THEN 7500 ELSE 3000 END,
+               CASE WHEN direction <> 'UNKNOWN' THEN 8500 ELSE 4000 END,
+               direction
+        FROM (WITH {_records_pattern_sql()}
+              {_records_pattern_select()})),
+    rq_scored AS (
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_records,
+               CAST(SUM(CASE WHEN direction = 'UNKNOWN' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unknown,
+               CAST((10 * SUM(2 * dir_bp + amt_bp + date_bp)) // COUNT(*)
+                    AS BIGINT) AS confidence_micros,
+               SUM(amt_bp) AS s_amt, SUM(date_bp) AS s_date
+        FROM rq_slice GROUP BY conv_id),
+    rq_ladder AS (
+        SELECT conv_id, n_records, n_unknown, confidence_micros,
+               CASE WHEN n_unknown = n_records
+                    THEN 'HARD_GATE_ALL_DIRECTIONS_UNKNOWN'
+                    WHEN n_records > 5
+                    THEN 'HARD_GATE_LOW_RECONCILIATION'
+                    WHEN s_amt < 5000 * n_records
+                    THEN 'HARD_GATE_LOW_AMOUNT_CONFIDENCE' END AS first_gate,
+               (n_unknown = n_records OR n_records > 5
+                OR s_amt < 5000 * n_records) AS has_gate,
+               ((n_unknown > 0 AND n_unknown < n_records)
+                OR s_date < 7000 * n_records) AS has_warn
+        FROM rq_scored),
+    rq_routed AS (
+        SELECT conv_id, n_records, n_unknown, confidence_micros,
+               'PENDING' AS status,
+               COALESCE(first_gate, 'LOW_CONFIDENCE') AS reason,
+               validation_status,
+               CAST(CASE WHEN validation_status = 'NEEDS_REVIEW' THEN 3
+                         ELSE 5 END AS INT) AS priority
+        FROM (SELECT *,
+                     CASE WHEN has_gate THEN 'FAIL'
+                          WHEN confidence_micros >= 850000 AND NOT has_warn
+                          THEN 'PASS'
+                          WHEN confidence_micros >= 700000
+                          THEN 'PASS_WITH_WARNINGS'
+                          WHEN confidence_micros >= 500000
+                          THEN 'NEEDS_REVIEW'
+                          ELSE 'FAIL' END AS validation_status
+              FROM rq_ladder) _
+        WHERE validation_status NOT IN ('PASS', 'PASS_WITH_WARNINGS'))
+    """
+
+
+@register("review_queue_page", None)  # SQL attached below
+def review_queue_page(spark, sf_dir):
+    """A5 route-to-review + O6 priority/pagination ordering
+    (review/queue.py:20-69) over the oracled fallback-tier slice: the
+    real records feed the exact-integer scoring ladder, io/review.py
+    routes and paginates (distributed top-k, offset 7 / limit 40), and
+    the oracle re-derives queue position, priority, reason, and the
+    floor-micros document score from the snapshot."""
+    from .io.review import pending_reviews, route_to_review
+    items = route_to_review(_review_scored_slice(spark, sf_dir))
+    page = pending_reviews(items, limit=40, offset=7)
+    return page.select("rank", "conv_id", "status", "priority", "reason",
+                       "validation_status", "n_records", "confidence_micros")
+
+
+@register("review_queue_stats", None)  # SQL attached below
+def review_queue_rollup(spark, sf_dir):
+    """A5 queue statistics (review/queue.py:72-88): GROUP BY rollup of
+    the routed queue — item counts and records behind them per
+    (status, reason, validation_status, priority)."""
+    from .io.review import review_queue_stats, route_to_review
+    items = route_to_review(_review_scored_slice(spark, sf_dir))
+    return review_queue_stats(items)
+
+
 @register("transcripts_token_ir", None)  # SQL attached below
 def transcripts_token_ir(spark, sf_dir):
     """Exploded token-IR diagnostics surface (contracts.py:20-26),
@@ -2977,6 +3163,30 @@ def _attach_turns_sql() -> None:
     _REGISTRY["transcripts_token_ir"] = (fn, _token_ir_sql())
     fn, _ = _REGISTRY["multimodal_features"]
     _REGISTRY["multimodal_features"] = (fn, _multimodal_sql())
+    fn, _ = _REGISTRY["raster_preprocess"]
+    _REGISTRY["raster_preprocess"] = (fn, _raster_sql())
+    fn, _ = _REGISTRY["review_queue_page"]
+    _REGISTRY["review_queue_page"] = (fn, f"""
+    WITH {view},
+    {_review_routed_ctes()}
+    SELECT * FROM (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority, conv_id) AS INT)
+                   AS rank,
+               conv_id, status, priority, reason, validation_status,
+               n_records, confidence_micros
+        FROM rq_routed) _
+    WHERE rank > 7 AND rank <= 47
+""")
+    fn, _ = _REGISTRY["review_queue_stats"]
+    _REGISTRY["review_queue_stats"] = (fn, f"""
+    WITH {view},
+    {_review_routed_ctes()}
+    SELECT status, reason, validation_status, priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(n_records) AS BIGINT) AS n_records
+    FROM rq_routed
+    GROUP BY 1, 2, 3, 4
+""")
     fn, _ = _REGISTRY["text_pii_scan"]
     _REGISTRY["text_pii_scan"] = (fn, _pii_sql())
     fn, _ = _REGISTRY["corpus_duplicate_lines"]

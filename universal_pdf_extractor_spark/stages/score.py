@@ -156,3 +156,72 @@ def conversations_table(conv_meta: DataFrame, records: DataFrame) -> DataFrame:
         "validation_status", "final_status",
         "hard_gate_failures", "warnings", "row_count",
     )
+
+
+def score_records_exact(records: DataFrame) -> DataFrame:
+    """The same scoring ladder as ``conversations_table`` re-expressed
+    in EXACT BIGINT arithmetic, for oracle-checked surfaces (the
+    review queue): per-record confidences become basis points, the
+    weighted document score becomes floor-micros
+
+        confidence_micros = (550000*n_reconciled + 10*M) DIV n,
+        M = sum(2*dir_bp + amt_bp + date_bp)
+
+    (0.35*recon + 0.25*mean_balance with mean_balance = 0.8*recon
+    collapses to 0.55*recon, orchestrator.py:398; the 0.20/0.10/0.10
+    weights scale the bp sums by 2/1/1), and every gate / warning /
+    threshold test is an integer comparison — floor preserves ``>=``
+    against the integer thresholds 850000/700000/500000.  Intended for
+    fallback-tier record slices, where confidences are exact
+    hundredths (tier constants, segment_extract.py:497-602) so the bp
+    conversion is lossless; convs absent from ``records`` (the
+    NO_TRANSACTIONS gate) and the balance-mismatch gate (needs segment
+    balances) are out of scope here by construction.  Agreement with
+    the double ladder is pytest-gated (tests/test_review.py)."""
+    def bp(c: str):
+        return F.round(F.col(c) * 10000).cast("long")
+
+    per = records.select(
+        "conv_id",
+        (2 * bp("confidence_direction") + bp("confidence_amount")
+         + bp("confidence_date")).alias("m_bp"),
+        bp("confidence_amount").alias("amt_bp"),
+        bp("confidence_date").alias("date_bp"),
+        (F.col("direction") == "UNKNOWN").cast("long").alias("unk"),
+        F.col("balance_confirmed").cast("long").alias("recon"))
+    agg = per.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("unk").alias("n_unknown"),
+        F.sum("recon").alias("_n_recon"),
+        F.sum("m_bp").alias("_m"),
+        F.sum("amt_bp").alias("_s_amt"),
+        F.sum("date_bp").alias("_s_date"))
+    n, unk, nr = F.col("n_records"), F.col("n_unknown"), F.col("_n_recon")
+    scored = agg.withColumn(
+        "confidence_micros",
+        F.expr("(550000 * _n_recon + 10 * _m) DIV n_records").cast("long"))
+    gates = F.filter(F.array(
+        F.when(unk == n, F.lit("HARD_GATE_ALL_DIRECTIONS_UNKNOWN")),
+        F.when((2 * nr < n) & (n > 5), F.lit("HARD_GATE_LOW_RECONCILIATION")),
+        F.when(F.col("_s_amt") < 5000 * n,
+               F.lit("HARD_GATE_LOW_AMOUNT_CONFIDENCE")),
+    ), lambda x: x.isNotNull())
+    scored = scored.withColumn("hard_gate_failures", gates)
+    has_warn = (((unk > 0) & (unk < n))
+                | (F.col("_s_date") < 7000 * n)
+                | ((2 * nr >= n) & (5 * nr < 4 * n)))
+    c = F.col("confidence_micros")
+    scored = scored.withColumn(
+        "validation_status",
+        F.when(F.size("hard_gate_failures") > 0, "FAIL")
+         .when((c >= 850000) & ~has_warn, "PASS")
+         .when(c >= 700000, "PASS_WITH_WARNINGS")
+         .when(c >= 500000, "NEEDS_REVIEW")
+         .otherwise("FAIL"))
+    scored = scored.withColumn(
+        "final_status",
+        F.when(F.col("validation_status").isin("PASS", "PASS_WITH_WARNINGS"),
+               "COMPLETED").otherwise("NEEDS_REVIEW"))
+    return scored.select("conv_id", "n_records", "n_unknown",
+                         "confidence_micros", "hard_gate_failures",
+                         "validation_status", "final_status")
