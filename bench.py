@@ -113,6 +113,20 @@ def main() -> None:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         q_times[name] = round(time.perf_counter() - tq, 3)
 
+    # ── raster path: render + preprocess throughput (pages/sec),
+    # measured directly (no oracle-snapshot side effects) ──
+    from universal_pdf_extractor_spark.datapipe.raster import (
+        preprocess_pages,
+        render_pages,
+    )
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_pages = min(docs.count(), 1024)
+    tq = time.perf_counter()
+    preprocess_pages(render_pages(docs, limit=n_pages)) \
+        .write.format("noop").mode("overwrite").save()
+    raster_sec = time.perf_counter() - tq
+    q_times["raster_preprocess"] = round(raster_sec, 3)
+
     total = round(sum(q_times.values()), 3)
     print(json.dumps({
         "metric": "end-to-end extraction throughput (turns/sec), local[%d]" % CPUS,
@@ -123,6 +137,7 @@ def main() -> None:
         "turns": n_turns,
         "cpus": CPUS,
         "turns_per_sec": round(n_turns / pipeline_sec, 1),
+        "raster_pages_per_sec": round(n_pages / raster_sec, 1),
     }))
     spark.stop()
 

@@ -212,8 +212,15 @@ def render_pages(docs: DataFrame, limit: int = 1024,
     row each (page bitmaps as a binary column + geometry metadata).
 
     Deterministic: the seed is a stable function of the doc_id bytes,
-    so re-rendering after a resume produces identical payloads."""
-    slim = docs.select(id_col).orderBy(id_col).limit(limit)
+    so re-rendering after a resume produces identical payloads.
+
+    ``limit`` collapses the plan to ONE partition (GlobalLimit), which
+    would serialize the expensive render/preprocess UDFs — repartition
+    the (tiny, keys-only) limited frame back out so the raster work
+    runs at full parallelism."""
+    sc = docs.sparkSession.sparkContext
+    slim = (docs.select(id_col).orderBy(id_col).limit(limit)
+            .repartition(sc.defaultParallelism, id_col))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -271,7 +278,10 @@ def detect_skew_milli(gray: np.ndarray) -> int:
     ink = (255.0 - gray.astype(np.float64))
     h, w = ink.shape
     prof = ink.T                                   # (w, h) column profiles
-    xs = np.arange(w) - w // 2
+    # blank columns contribute nothing to any accumulation — drop them
+    keep = prof.any(axis=1)
+    prof = prof[keep]
+    xs = (np.arange(w) - w // 2)[keep]
     m = int(math.tan(math.radians(SKEW_MAX_MILLI / 1000.0)) * (w // 2)) + 2
     best_var, best_milli = -1.0, 0
     # candidate order = increasing |angle|, positive first: exact ties
@@ -279,13 +289,18 @@ def detect_skew_milli(gray: np.ndarray) -> int:
     # the smallest-magnitude angle, deterministically
     order = sorted(range(-SKEW_MAX_MILLI, SKEW_MAX_MILLI + 1, SKEW_STEP_MILLI),
                    key=lambda mi: (abs(mi), mi < 0))
+    base = np.arange(h)[None, :]
+    flat = prof.ravel()
+    size = h + 2 * m
     for milli in order:
         t = math.tan(math.radians(milli / 1000.0))
         d = np.rint(t * xs).astype(np.int64)
-        acc = np.zeros(h + 2 * m)
-        # inverse shear: column x contributes its profile at offset -d(x)
-        for s in np.unique(d):
-            acc[m - s:m - s + h] += prof[d == s].sum(axis=0)
+        # inverse shear as one scatter-add: column x contributes its
+        # profile at offset -d(x).  Summands are integer-valued
+        # float64 (ink counts), so bincount's accumulation order
+        # cannot perturb the result vs the per-shift slice loop.
+        idx = (base + (m - d)[:, None]).ravel()
+        acc = np.bincount(idx, weights=flat, minlength=size)
         var = acc[m:m + h].var()
         if var > best_var:
             best_var, best_milli = var, milli
