@@ -148,6 +148,71 @@ class TestRenderAndDetectRoundtrip:
                    for s in range(2000))
 
 
+class TestTableExtraction:
+    """S7 raster tiers: ruling-line (lattice) + whitespace-gap
+    (stream) table detection — the north-star's two heuristics."""
+
+    def test_ground_truth_recovered_across_seeds(self):
+        from universal_pdf_extractor_spark.datapipe.raster import (
+            detect_table,
+            synth_table_page,
+        )
+        modes = set()
+        for seed in range(300):
+            img, p = synth_table_page(seed)
+            m = detect_table(img)
+            assert m["mode"] == p["mode"], seed
+            assert (m["n_rows"], m["n_cols"]) == (p["n_rows"], p["n_cols"]), seed
+            assert m["bbox"] == p["bbox"], seed
+            assert m["n_cells_filled"] == p["n_cells_filled"], seed
+            modes.add(p["mode"])
+        assert modes == {"lattice", "stream"}
+
+    def test_lattice_requires_full_span_rules(self):
+        """A stream page's solid cell blocks must never trip the
+        ruling-line probe (the 0.95-span test)."""
+        from universal_pdf_extractor_spark.datapipe.raster import (
+            detect_table,
+            synth_table_page,
+            table_params,
+        )
+        checked = 0
+        for seed in range(300):
+            if table_params(seed)["mode"] != "stream":
+                continue
+            img, _ = synth_table_page(seed)
+            assert detect_table(img)["mode"] == "stream", seed
+            checked += 1
+        assert checked > 50
+
+    def test_blank_page_yields_nulls(self):
+        from universal_pdf_extractor_spark.datapipe.raster import detect_table
+        m = detect_table(np.full((64, 64), 255, dtype=np.uint8))
+        assert m["mode"] is None and m["n_rows"] is None
+
+    def test_spark_stage_matches_local_kernel(self, spark):
+        from universal_pdf_extractor_spark.datapipe.raster import (
+            detect_table,
+            extract_tables,
+            render_table_pages,
+        )
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [f"t{i}" for i in range(10)]}))
+        pages = render_table_pages(docs)
+        pp = pages.toPandas().set_index("doc_id")
+        out = extract_tables(pages).toPandas().set_index("doc_id")
+        for doc_id, row in pp.iterrows():
+            m = detect_table(decode_bmp(bytes(row["payload"]))[:, :, 0])
+            got = out.loc[doc_id]
+            assert got["mode"] == m["mode"] == row["gt_mode"], doc_id
+            assert got["n_rows"] == m["n_rows"] == row["gt_rows"], doc_id
+            assert got["n_cols"] == m["n_cols"] == row["gt_cols"], doc_id
+            assert (got["bbox_x0"], got["bbox_y0"],
+                    got["bbox_x1"], got["bbox_y1"]) == m["bbox"], doc_id
+            assert got["n_cells_filled"] == m["n_cells_filled"] \
+                == row["gt_filled"], doc_id
+
+
 class TestSparkStages:
     def test_render_preprocess_matches_local_kernels(self, spark):
         docs = spark.createDataFrame(

@@ -507,6 +507,238 @@ def preprocess_page_array(gray: np.ndarray, mean_confidence: float) -> dict:
     }
 
 
+# ── raster table extraction (S7 raster tiers: tabula/camelot
+#    analogues — orchestrator.py:982-1173 tabula, :1174-1341 camelot).
+#    Two real table-detection modes over PIXELS:
+#      lattice — ruling-line detection (camelot lattice / tabula with
+#        detected rules): full-span ink runs on the row/column ink
+#        profiles are grid lines; cells are the gaps between them.
+#      stream — whitespace-gap detection (tabula stream mode): column
+#        bands are maximal ink runs separated by blank gutters on the
+#        column profile, rows likewise on the row profile.
+#    The north-star names exactly these two heuristics ("table
+#    detection (ruling-line + whitespace-gap heuristics)"). ──────────
+
+TBL_COLS = (2, 3, 4, 5)
+TBL_ROWS = (3, 4, 5, 6, 7, 8)
+TBL_MARGIN_DIV = 8                     # table bbox inset = dim // 8
+TM_A, TN_A, TK_A = 48271, 16807, 65537   # table-parameter mixers
+
+TABLE_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("mode", StringType(), True),        # lattice | stream
+    StructField("n_rows", IntegerType(), True),
+    StructField("n_cols", IntegerType(), True),
+    StructField("bbox_x0", IntegerType(), True),
+    StructField("bbox_y0", IntegerType(), True),
+    StructField("bbox_x1", IntegerType(), True),
+    StructField("bbox_y1", IntegerType(), True),
+    StructField("n_cells_filled", IntegerType(), True),
+])
+
+
+def table_params(seed: int) -> dict:
+    """Deterministic table-synthesis parameters from an integer seed."""
+    return {
+        "mode": ("lattice", "stream")[(seed * TK_A) % 2],
+        "n_rows": TBL_ROWS[(seed * TM_A) % len(TBL_ROWS)],
+        "n_cols": TBL_COLS[(seed * TN_A) % len(TBL_COLS)],
+        "base_w": BASE_W[(seed * RW_A) % 3],
+        "base_h": BASE_H[(seed * RH_A) % 3],
+    }
+
+
+def synth_table_page(seed: int) -> Tuple[np.ndarray, dict]:
+    """Draw a table page with known ground truth.
+
+    lattice: 1-px black ruling lines on every row/column boundary
+    (full table span); stream: no rules — cell blobs only, with blank
+    gutters (>=3 px) between column bands and row bands.  Cell blobs
+    are inset 3 px from their cell bounds so content never produces a
+    full-span run (which would fake a ruling line)."""
+    p = table_params(seed)
+    w, h = p["base_w"], p["base_h"]
+    page = np.full((h, w), 255, dtype=np.uint8)
+    x0, x1 = w // TBL_MARGIN_DIV, w - w // TBL_MARGIN_DIV
+    y0, y1 = h // TBL_MARGIN_DIV, h - h // TBL_MARGIN_DIV
+    nr, nc = p["n_rows"], p["n_cols"]
+    xs = np.linspace(x0, x1, nc + 1).astype(int)
+    ys = np.linspace(y0, y1, nr + 1).astype(int)
+    s = seed * 2862933555777941757 + 3037000493
+    filled = 0
+    if p["mode"] == "lattice":
+        for x in xs:
+            page[y0:y1 + 1, x] = 0
+        for y in ys:
+            page[y, x0:x1 + 1] = 0
+        # small seeded blobs, 3-px inset from the rules; ~1/4 of the
+        # cells stay empty so filled-cell counting is non-trivial
+        for r in range(nr):
+            for c in range(nc):
+                s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+                if (s >> 33) % 4 == 0:
+                    continue
+                cx0, cx1 = xs[c] + 3, xs[c + 1] - 3
+                cy0, cy1 = ys[r] + 3, ys[r + 1] - 3
+                bw = 2 + (s >> 40) % max(1, min(4, cx1 - cx0 - 1))
+                page[cy0:cy0 + min(2, cy1 - cy0), cx0:cx0 + bw] = 30
+                filled += 1
+    else:
+        # stream: solid cell blocks with asymmetric insets chosen so
+        # no row/column ink run reaches the 0.9-span lattice test
+        # (x-inset 8 caps the worst row fill at <0.95 for n_cols=2 on the
+        # widest page; y-inset 3 likewise for n_rows=3; true rules
+        # span exactly 1.0) while the >=6-px gutters
+        # stay wide enough for the whitespace-gap split
+        for r in range(nr):
+            for c in range(nc):
+                s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+                shade = 20 + (s >> 17) % 90
+                page[ys[r] + 3:ys[r + 1] - 3,
+                     xs[c] + 8:xs[c + 1] - 8] = shade
+                filled += 1
+    p["n_cells_filled"] = filled
+    # ground truth bbox = extent of the ink actually drawn (a property
+    # of the draw plan, NOT of any detector)
+    ink = page < 128
+    iy = np.flatnonzero(ink.any(axis=1))
+    ix = np.flatnonzero(ink.any(axis=0))
+    p["bbox"] = (int(ix[0]), int(iy[0]), int(ix[-1]), int(iy[-1]))
+    return page, p
+
+
+def _runs(mask: np.ndarray, min_gap: int = 1) -> list:
+    """Maximal True runs [(start, end_inclusive)], merging runs
+    separated by gaps shorter than min_gap."""
+    idx = np.flatnonzero(mask)
+    if idx.size == 0:
+        return []
+    splits = np.flatnonzero(np.diff(idx) > min_gap)
+    starts = np.concatenate(([0], splits + 1))
+    ends = np.concatenate((splits, [idx.size - 1]))
+    return [(int(idx[s]), int(idx[e])) for s, e in zip(starts, ends)]
+
+
+def detect_table(gray: np.ndarray) -> dict:
+    """Detect one table on a page from pixels alone.
+
+    Tries ruling-line (lattice) detection first — a grid line is a
+    row/column whose ink run spans >=95% of the detected table width /
+    height; needs >=2 lines on each axis.  Falls back to whitespace-gap
+    (stream) detection: column/row bands are ink runs separated by
+    blank gutters (>=3 px merge tolerance).  Mirrors the reference's
+    tier order (try the ruled engine, fall back to the stream engine —
+    orchestrator fallback cascade)."""
+    ink = gray < 128
+    if not ink.any():
+        return {"mode": None, "n_rows": None, "n_cols": None,
+                "bbox": (None, None, None, None), "n_cells_filled": None}
+    row_any = ink.any(axis=1)
+    col_any = ink.any(axis=0)
+    ys = np.flatnonzero(row_any)
+    xs = np.flatnonzero(col_any)
+    y0, y1 = int(ys[0]), int(ys[-1])
+    x0, x1 = int(xs[0]), int(xs[-1])
+    width, height = x1 - x0 + 1, y1 - y0 + 1
+    # lattice probe: full-span runs
+    row_span = ink[:, x0:x1 + 1].sum(axis=1)
+    col_span = ink[y0:y1 + 1, :].sum(axis=0)
+    h_lines = [r for (r, e) in _runs(row_span >= 0.95 * width)
+               for r in range(r, e + 1)]
+    v_lines = [c for (c, e) in _runs(col_span >= 0.95 * height)
+               for c in range(c, e + 1)]
+    h_groups = _runs(np.isin(np.arange(ink.shape[0]), h_lines))
+    v_groups = _runs(np.isin(np.arange(ink.shape[1]), v_lines))
+    if len(h_groups) >= 2 and len(v_groups) >= 2:
+        nr, nc = len(h_groups) - 1, len(v_groups) - 1
+        # count filled cells: ink strictly inside cell interiors
+        filled = 0
+        hy = [g[0] for g in h_groups]
+        vx = [g[0] for g in v_groups]
+        for r in range(nr):
+            for c in range(nc):
+                cell = ink[hy[r] + 1:hy[r + 1], vx[c] + 1:vx[c + 1]]
+                # exclude the rules themselves via a 1-px inset
+                if cell[1:-1, 1:-1].any():
+                    filled += 1
+        return {"mode": "lattice", "n_rows": nr, "n_cols": nc,
+                "bbox": (x0, y0, x1, y1), "n_cells_filled": filled}
+    # stream: whitespace-gap bands (merge gaps < 3 px)
+    rbands = _runs(row_any, min_gap=3)
+    cbands = _runs(col_any, min_gap=3)
+    nr, nc = len(rbands), len(cbands)
+    filled = 0
+    for (ry0, ry1) in rbands:
+        for (cx0, cx1) in cbands:
+            if ink[ry0:ry1 + 1, cx0:cx1 + 1].any():
+                filled += 1
+    return {"mode": "stream", "n_rows": nr, "n_cols": nc,
+            "bbox": (x0, y0, x1, y1), "n_cells_filled": filled}
+
+
+def render_table_pages(docs: DataFrame, limit: int = 1024,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Documents → one synthetic table page each (binary BMP payload +
+    ground-truth geometry for the oracle), full parallelism."""
+    sc = docs.sparkSession.sparkContext
+    slim = (docs.select(id_col).orderBy(id_col).limit(limit)
+            .repartition(sc.defaultParallelism, id_col))
+
+    schema = StructType([
+        StructField("doc_id", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("gt_mode", StringType(), False),
+        StructField("gt_rows", IntegerType(), False),
+        StructField("gt_cols", IntegerType(), False),
+        StructField("gt_filled", IntegerType(), False),
+        StructField("gt_x0", IntegerType(), False),
+        StructField("gt_y0", IntegerType(), False),
+        StructField("gt_x1", IntegerType(), False),
+        StructField("gt_y1", IntegerType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col].tolist():
+                seed = int.from_bytes(
+                    hashlib.md5(str(doc_id).encode()).digest()[:6], "big")
+                img, p = synth_table_page(seed)
+                rgb = np.repeat(img[:, :, None], 3, axis=2)
+                bx0, by0, bx1, by1 = p["bbox"]
+                rows.append((str(doc_id), encode_bmp(np.ascontiguousarray(rgb)),
+                             p["mode"], p["n_rows"], p["n_cols"],
+                             p["n_cells_filled"], bx0, by0, bx1, by1))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return slim.mapInPandas(gen, schema=schema)
+
+
+def extract_tables(pages: DataFrame) -> DataFrame:
+    """S7 raster tiers as one shuffle-free mapInPandas stage: BMP in,
+    detected table geometry out.  Reads ONLY (doc_id, payload) —
+    never the ground-truth columns."""
+    slim = pages.select("doc_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload)) if payload is not None else None
+                if px is None:
+                    rows.append((doc_id, None, None, None,
+                                 None, None, None, None, None))
+                    continue
+                m = detect_table(px[:, :, 0])
+                bx0, by0, bx1, by1 = m["bbox"]
+                rows.append((doc_id, m["mode"], m["n_rows"], m["n_cols"],
+                             bx0, by0, bx1, by1, m["n_cells_filled"]))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in TABLE_SCHEMA.fields])
+
+    return slim.mapInPandas(run, schema=TABLE_SCHEMA)
+
+
 def preprocess_pages(pages: DataFrame) -> DataFrame:
     """R1-R4 as one shuffle-free mapInPandas stage: BMP payload in,
     per-page preprocessing metrics out.  Reads ONLY (doc_id, payload,

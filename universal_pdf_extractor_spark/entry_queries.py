@@ -1014,6 +1014,55 @@ def raster_preprocess(spark, sf_dir):
             .join(F.broadcast(meta), "doc_id"))
 
 
+TABLE_SNAPSHOT = "/tmp/updx_oracle_inputs/raster_tables.parquet"
+_TABLES_WRITTEN: set[int] = set()
+
+
+def _raster_tables_sql() -> str:
+    """Oracle for the raster table-extraction tiers (S7 tabula/camelot
+    analogues): the engine detects mode / grid shape / bbox / filled
+    cells from the page PIXELS alone; the oracle re-reads the
+    snapshot's ground truth (the draw plan's geometry, measured from
+    the drawing commands at synthesis time — never from the
+    detector)."""
+    return f"""
+    SELECT doc_id, gt_mode AS mode,
+           CAST(gt_rows AS INT) AS n_rows,
+           CAST(gt_cols AS INT) AS n_cols,
+           CAST(gt_x0 AS INT) AS bbox_x0, CAST(gt_y0 AS INT) AS bbox_y0,
+           CAST(gt_x1 AS INT) AS bbox_x1, CAST(gt_y1 AS INT) AS bbox_y1,
+           CAST(gt_filled AS INT) AS n_cells_filled,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           sha256(lower(hex(payload))) AS payload_digest
+    FROM read_parquet('{TABLE_SNAPSHOT}/*.parquet')
+    """
+
+
+@register("raster_table_extract", None)  # SQL attached below
+def raster_table_extract(spark, sf_dir):
+    """S7 raster table-extraction tiers (tabula analogue
+    orchestrator.py:982-1173, camelot analogue :1174-1341): documents
+    -> synthetic table pages (real BMP bytes) -> one shuffle-free
+    mapInPandas pass that detects ruling-line (lattice) tables first
+    and falls back to whitespace-gap (stream) detection — the
+    north-star's two table-detection heuristics, exercised on pixels
+    and oracle-checked against the snapshot's ground truth."""
+    from .datapipe.raster import extract_tables, render_table_pages
+    docs = _read(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    pages = render_table_pages(docs)
+    if _TABLES_WRITTEN != {n_docs}:
+        pages.write.mode("overwrite").parquet(TABLE_SNAPSHOT)
+        _TABLES_WRITTEN.clear()
+        _TABLES_WRITTEN.add(n_docs)
+    snap = spark.read.parquet(TABLE_SNAPSHOT)
+    meta = snap.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2(F.lower(F.hex("payload")), 256).alias("payload_digest"))
+    return extract_tables(snap).join(F.broadcast(meta), "doc_id")
+
+
 def _review_scored_slice(spark, sf_dir):
     """Exact-integer conversation scoring over the REAL pipeline
     records restricted to the two fully-oracled fallback tiers
@@ -3165,6 +3214,8 @@ def _attach_turns_sql() -> None:
     _REGISTRY["multimodal_features"] = (fn, _multimodal_sql())
     fn, _ = _REGISTRY["raster_preprocess"]
     _REGISTRY["raster_preprocess"] = (fn, _raster_sql())
+    fn, _ = _REGISTRY["raster_table_extract"]
+    _REGISTRY["raster_table_extract"] = (fn, _raster_tables_sql())
     fn, _ = _REGISTRY["review_queue_page"]
     _REGISTRY["review_queue_page"] = (fn, f"""
     WITH {view},
