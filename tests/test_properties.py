@@ -289,3 +289,90 @@ def test_components_of_keepers_are_singletons(spark):
                            "1.0 as jaccard")).toPandas()
     assert (again["component_size"] == 1).all()
     assert (again["doc_id"] == again["keep_id"]).all()
+
+
+# ── raster kernel properties (round-5 surfaces) ─────────────────────
+
+@given(st.integers(min_value=0, max_value=10**9),
+       st.integers(min_value=-14750, max_value=14750).map(
+           lambda v: (v // 250) * 250))
+@settings(max_examples=40, deadline=None)
+def test_shear_unshear_roundtrip_any_angle(seed, milli):
+    import numpy as np
+
+    from universal_pdf_extractor_spark.datapipe.raster import (
+        shear,
+        synth_upright,
+        unshear,
+    )
+
+    img = synth_upright(seed, 256, 192)
+    assert np.array_equal(unshear(shear(img, milli), milli), img)
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=25, deadline=None)
+def test_orientation_detection_consistent_under_rot90(seed):
+    """Detecting a k-rotated page must report 90k and undo back to the
+    upright pixels, for every k — the R1 involution property."""
+    import numpy as np
+
+    from universal_pdf_extractor_spark.datapipe.raster import (
+        detect_orientation,
+        fix_orientation,
+        synth_upright,
+    )
+
+    img = synth_upright(seed, 224, 160)
+    for k in range(4):
+        rotated = np.rot90(img, k)
+        deg, conf = detect_orientation(rotated)
+        assert deg == 90 * k
+        assert conf > 0.5
+        assert np.array_equal(fix_orientation(rotated, deg), img)
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=40, deadline=None)
+def test_table_detection_translation_equivariant(seed):
+    """Padding a table page with extra white border translates the
+    detected bbox by exactly the pad and changes nothing else."""
+    import numpy as np
+
+    from universal_pdf_extractor_spark.datapipe.raster import (
+        detect_table,
+        synth_table_page,
+    )
+
+    img, _ = synth_table_page(seed)
+    base = detect_table(img)
+    pad_y, pad_x = 7, 11
+    padded = np.pad(img, ((pad_y, 3), (pad_x, 5)), constant_values=255)
+    moved = detect_table(padded)
+    assert moved["mode"] == base["mode"]
+    assert (moved["n_rows"], moved["n_cols"]) == (base["n_rows"], base["n_cols"])
+    assert moved["n_cells_filled"] == base["n_cells_filled"]
+    bx0, by0, bx1, by1 = base["bbox"]
+    assert moved["bbox"] == (bx0 + pad_x, by0 + pad_y, bx1 + pad_x, by1 + pad_y)
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=40, deadline=None)
+def test_enhancement_ladder_total_and_binary_where_thresholding(seed):
+    """Every confidence in [0,1) maps to exactly one profile, and the
+    B/C/D profiles emit strictly binary images."""
+    import numpy as np
+
+    from universal_pdf_extractor_spark.datapipe.raster import (
+        apply_enhancement,
+        synth_upright,
+    )
+
+    img = synth_upright(seed, 224, 160)
+    for conf, want in ((0.99, "A_mild_contrast"), (0.84, "B_adaptive_threshold"),
+                       (0.62, "C_denoise_sharpen"), (0.10, "D_high_contrast")):
+        out, got = apply_enhancement(img, conf)
+        assert got == want
+        assert out.shape == img.shape and out.dtype == np.uint8
+        if got != "A_mild_contrast":
+            assert set(np.unique(out)).issubset({0, 255})
