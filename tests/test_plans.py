@@ -93,3 +93,68 @@ def test_filter_pushdown_reaches_scan(transcripts):
     plan = _plan(filtered)
     assert "PushedFilters: [" in plan
     assert "EqualTo(turn_idx,0)" in plan or "turn_idx" in plan.split("PushedFilters")[1][:120]
+
+
+def test_raster_stages_single_exchange_and_pruned(spark, tmp_path_factory):
+    """The raster path is embarrassingly parallel: exactly ONE
+    exchange (the deliberate post-limit repartition that undoes the
+    GlobalLimit single-partition collapse), and the preprocess stage
+    reads only (doc_id, payload, conf_micros) from the page snapshot —
+    ground-truth parameter columns never reach Python."""
+    import pandas as pd
+
+    from universal_pdf_extractor_spark.datapipe.raster import (
+        preprocess_pages,
+        render_pages,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(8)]}))
+    pages = render_pages(docs)
+    assert _plan(pages).count("Exchange") == 1
+
+    path = str(tmp_path_factory.mktemp("raster") / "pages")
+    pages.write.mode("overwrite").parquet(path)
+    out = preprocess_pages(spark.read.parquet(path))
+    plan = _plan(out)
+    assert plan.count("Exchange") == 0          # shuffle-free
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "payload" in scan and "conf_micros" in scan
+    assert "rot_deg" not in scan and "skew_milli" not in scan
+
+
+def test_table_extract_shuffle_free_and_pruned(spark, tmp_path_factory):
+    import pandas as pd
+
+    from universal_pdf_extractor_spark.datapipe.raster import (
+        extract_tables,
+        render_table_pages,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(8)]}))
+    path = str(tmp_path_factory.mktemp("rtables") / "pages")
+    render_table_pages(docs).write.mode("overwrite").parquet(path)
+    plan = _plan(extract_tables(spark.read.parquet(path)))
+    assert plan.count("Exchange") == 0
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "payload" in scan and "gt_mode" not in scan
+
+
+def test_review_stats_single_partial_agg_exchange(spark):
+    """The queue rollup is one partial-aggregate shuffle (map-side
+    combine before the exchange)."""
+    import pandas as pd
+
+    from universal_pdf_extractor_spark.io.review import (
+        review_queue_stats,
+        route_to_review,
+    )
+
+    conv = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["a", "b"], "validation_status": ["FAIL", "NEEDS_REVIEW"],
+        "final_status": ["NEEDS_REVIEW", "NEEDS_REVIEW"],
+        "hard_gate_failures": [["G"], []]}))
+    plan = _plan(review_queue_stats(route_to_review(conv)))
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2      # partial + final

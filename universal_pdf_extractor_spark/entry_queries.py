@@ -1185,6 +1185,57 @@ def review_queue_rollup(spark, sf_dir):
     return review_queue_stats(items)
 
 
+@register("xlsx_styled_export", None)  # SQL attached below
+def xlsx_styled_export(spark, sf_dir):
+    """S12 styled XLSX export decisions (api/documents.py:650-731) on
+    the oracled fallback-tier slice: signed cents, the comma-grouped
+    pound rendering built from exact integer cents, the direction-
+    keyed font colors, and the DD/MM/YYYY date rendering — every
+    styling decision the workbook writer would apply, hash-checked."""
+    from .io.sinks import xlsx_style_columns
+    rec = _pipeline_outputs(spark, sf_dir)["records"]
+    styled = xlsx_style_columns(
+        rec.where(F.col("direction_source").isin("delim_table",
+                                                 "row_pattern")))
+    return styled.select(
+        "conv_id", "segment_index", "row_index", "direction",
+        (F.col("signed_amount") * 100).cast("long").alias("signed_cents"),
+        "amount_display", "font_color", "date_display", "number_format")
+
+
+def _xlsx_styled_sql() -> str:
+    """Oracle CTEs + select for the styled export (composed after the
+    shared turns view by _attach_turns_sql)."""
+    return f"""
+    sx_slice AS (
+        SELECT conv_id, segment_index, row_index, direction,
+               amount_cents, posted_date
+        FROM (WITH {_records_delim_sql()})
+        UNION ALL
+        SELECT conv_id, segment_index, row_index, direction,
+               amount_cents, posted_date
+        FROM (WITH {_records_pattern_sql()}
+              {_records_pattern_select()})),
+    sx AS (
+        SELECT *,
+               CASE WHEN direction = 'DEBIT' THEN -abs(amount_cents)
+                    ELSE abs(amount_cents) END AS signed_cents,
+               abs(amount_cents) AS mag
+        FROM sx_slice)
+    SELECT conv_id, segment_index, row_index, direction,
+           CAST(signed_cents AS BIGINT) AS signed_cents,
+           (CASE WHEN signed_cents < 0 THEN '-' ELSE '' END)
+               || chr(163) || format('{{:,}}', mag // 100) || '.'
+               || lpad(CAST(mag % 100 AS VARCHAR), 2, '0') AS amount_display,
+           CASE WHEN direction = 'DEBIT' THEN 'CC0000'
+                WHEN direction = 'CREDIT' THEN '006600' END AS font_color,
+           strftime(posted_date, '%d/%m/%Y') AS date_display,
+           concat(chr(163), '#,##0.00;[Red]-', chr(163), '#,##0.00;"-"')
+               AS number_format
+    FROM sx
+    """
+
+
 @register("transcripts_token_ir", None)  # SQL attached below
 def transcripts_token_ir(spark, sf_dir):
     """Exploded token-IR diagnostics surface (contracts.py:20-26),
@@ -3216,6 +3267,11 @@ def _attach_turns_sql() -> None:
     _REGISTRY["raster_preprocess"] = (fn, _raster_sql())
     fn, _ = _REGISTRY["raster_table_extract"]
     _REGISTRY["raster_table_extract"] = (fn, _raster_tables_sql())
+    fn, _ = _REGISTRY["xlsx_styled_export"]
+    _REGISTRY["xlsx_styled_export"] = (fn, f"""
+    WITH {view},
+    {_xlsx_styled_sql()}
+""")
     fn, _ = _REGISTRY["review_queue_page"]
     _REGISTRY["review_queue_page"] = (fn, f"""
     WITH {view},
