@@ -179,8 +179,9 @@ def shear(img: np.ndarray, milli: int, fill: int = 255) -> np.ndarray:
     """Apply the integer-column shear (the synthesis direction)."""
     h, w = img.shape
     out = np.full_like(img, fill)
-    for s in np.unique(_col_shifts(w, milli)):
-        cols = _col_shifts(w, milli) == s
+    shifts = _col_shifts(w, milli)
+    for s in np.unique(shifts):
+        cols = shifts == s
         if s >= 0:
             out[s:, cols] = img[:h - s, cols]
         else:
@@ -585,7 +586,7 @@ def synth_table_page(seed: int) -> Tuple[np.ndarray, dict]:
                 filled += 1
     else:
         # stream: solid cell blocks with asymmetric insets chosen so
-        # no row/column ink run reaches the 0.9-span lattice test
+        # no row/column ink run reaches the 0.95-span lattice test
         # (x-inset 8 caps the worst row fill at <0.95 for n_cols=2 on the
         # widest page; y-inset 3 likewise for n_rows=3; true rules
         # span exactly 1.0) while the >=6-px gutters
@@ -643,12 +644,8 @@ def detect_table(gray: np.ndarray) -> dict:
     # lattice probe: full-span runs
     row_span = ink[:, x0:x1 + 1].sum(axis=1)
     col_span = ink[y0:y1 + 1, :].sum(axis=0)
-    h_lines = [r for (r, e) in _runs(row_span >= 0.95 * width)
-               for r in range(r, e + 1)]
-    v_lines = [c for (c, e) in _runs(col_span >= 0.95 * height)
-               for c in range(c, e + 1)]
-    h_groups = _runs(np.isin(np.arange(ink.shape[0]), h_lines))
-    v_groups = _runs(np.isin(np.arange(ink.shape[1]), v_lines))
+    h_groups = _runs(row_span >= 0.95 * width)
+    v_groups = _runs(col_span >= 0.95 * height)
     if len(h_groups) >= 2 and len(v_groups) >= 2:
         nr, nc = len(h_groups) - 1, len(v_groups) - 1
         # count filled cells: ink strictly inside cell interiors

@@ -951,7 +951,7 @@ def multimodal_features(spark, sf_dir):
 
 
 RASTER_SNAPSHOT = "/tmp/updx_oracle_inputs/raster_pages.parquet"
-_RASTER_WRITTEN: set[int] = set()
+_RASTER_WRITTEN: set[str] = set()
 
 
 def _raster_sql() -> str:
@@ -993,12 +993,11 @@ def raster_preprocess(spark, sf_dir):
     against the snapshot's ground-truth parameters (_raster_sql)."""
     from .datapipe.raster import preprocess_pages, render_pages
     docs = _read(spark, sf_dir, "documents")
-    n_docs = docs.count()
     pages = render_pages(docs)
-    if _RASTER_WRITTEN != {n_docs}:   # re-key per sf_dir, like _ensure_snapshot
+    if _RASTER_WRITTEN != {sf_dir}:   # re-key per corpus directory
         pages.write.mode("overwrite").parquet(RASTER_SNAPSHOT)
         _RASTER_WRITTEN.clear()
-        _RASTER_WRITTEN.add(n_docs)
+        _RASTER_WRITTEN.add(sf_dir)
     snap = spark.read.parquet(RASTER_SNAPSHOT)
     meta = snap.select(
         "doc_id",
@@ -1015,7 +1014,7 @@ def raster_preprocess(spark, sf_dir):
 
 
 TABLE_SNAPSHOT = "/tmp/updx_oracle_inputs/raster_tables.parquet"
-_TABLES_WRITTEN: set[int] = set()
+_TABLES_WRITTEN: set[str] = set()
 
 
 def _raster_tables_sql() -> str:
@@ -1049,12 +1048,11 @@ def raster_table_extract(spark, sf_dir):
     and oracle-checked against the snapshot's ground truth."""
     from .datapipe.raster import extract_tables, render_table_pages
     docs = _read(spark, sf_dir, "documents")
-    n_docs = docs.count()
     pages = render_table_pages(docs)
-    if _TABLES_WRITTEN != {n_docs}:
+    if _TABLES_WRITTEN != {sf_dir}:   # re-key per corpus directory
         pages.write.mode("overwrite").parquet(TABLE_SNAPSHOT)
         _TABLES_WRITTEN.clear()
-        _TABLES_WRITTEN.add(n_docs)
+        _TABLES_WRITTEN.add(sf_dir)
     snap = spark.read.parquet(TABLE_SNAPSHOT)
     meta = snap.select(
         "doc_id",
