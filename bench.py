@@ -39,7 +39,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "agg_pricing_summary", "join_orders_customers", "cumsum_segmentation",
     "boilerplate_strip_docs", "amount_parse_roundtrip",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "ann_cosine_topk",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_cosine_topk", "ann_ivf_topk",
     "text_quality_scores", "text_repetition_scores", "text_pii_scan",
 ]
 
