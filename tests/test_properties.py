@@ -376,3 +376,29 @@ def test_enhancement_ladder_total_and_binary_where_thresholding(seed):
         assert out.shape == img.shape and out.dtype == np.uint8
         if got != "A_mild_contrast":
             assert set(np.unique(out)).issubset({0, 255})
+
+
+@given(st.binary(min_size=0, max_size=256))
+@settings(max_examples=150, deadline=None)
+def test_decoders_never_raise_on_garbage(payload):
+    """Malformed payloads fail soft (None), never raise — the
+    fail-soft contract every mapInPandas stage relies on."""
+    from universal_pdf_extractor_spark.datapipe.multimodal import (
+        decode_bmp,
+        decode_wav,
+    )
+
+    assert decode_bmp(payload) is None or decode_bmp(payload).ndim == 3
+    w = decode_wav(payload)
+    assert w is None or w.ndim == 1
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_bmp_header_prefix_fuzz(prefix):
+    """A valid BMP magic with a truncated/garbled remainder must still
+    fail soft."""
+    from universal_pdf_extractor_spark.datapipe.multimodal import decode_bmp
+
+    assert decode_bmp(b"BM" + prefix) is None \
+        or decode_bmp(b"BM" + prefix) is not None  # no exception is the test
