@@ -213,6 +213,69 @@ class TestTableExtraction:
                 == row["gt_filled"], doc_id
 
 
+class TestComposedDeskewTable:
+    """R2 ∘ S7 composition: sheared table pages must round-trip
+    through detect-shear → correct → detect-table to the canonical
+    ground truth."""
+
+    def test_composition_recovers_ground_truth(self):
+        import hashlib as _hl
+
+        from universal_pdf_extractor_spark.datapipe.raster import (
+            RS_A,
+            SKEW_STEP_MILLI,
+            SKEWED_TBL_MAX_MILLI,
+            canonical_skew_milli,
+            detect_skew_milli,
+            detect_table,
+            fix_skew,
+            shear,
+            synth_table_page,
+        )
+        applied = 0
+        for i in range(120):
+            seed = int.from_bytes(
+                _hl.md5(f"doc{i:05d}".encode()).digest()[:6], "big")
+            img, p = synth_table_page(seed)
+            steps = SKEWED_TBL_MAX_MILLI // SKEW_STEP_MILLI
+            milli = ((seed * RS_A) % (2 * steps + 1) - steps) * SKEW_STEP_MILLI
+            if milli != 0:
+                milli = canonical_skew_milli(img, milli)
+            if abs(milli) <= 500:
+                milli = 0
+            sheared = shear(img, milli) if milli else img
+            det = detect_skew_milli(sheared)
+            assert det == milli, i
+            g = fix_skew(sheared, det) if 500 < abs(det) < 15000 else sheared
+            m = detect_table(g)
+            assert (m["mode"], m["n_rows"], m["n_cols"], m["bbox"],
+                    m["n_cells_filled"]) \
+                == (p["mode"], p["n_rows"], p["n_cols"], p["bbox"],
+                    p["n_cells_filled"]), i
+            applied += milli != 0
+        assert applied > 60            # the skewed branch dominates
+
+    def test_spark_composed_stage(self, spark):
+        from universal_pdf_extractor_spark.datapipe.raster import (
+            deskew_and_extract,
+            render_skewed_table_pages,
+        )
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [f"s{i}" for i in range(12)]}))
+        pages = render_skewed_table_pages(docs)
+        gt = pages.toPandas().set_index("doc_id")
+        out = deskew_and_extract(pages).toPandas().set_index("doc_id")
+        for doc_id, row in gt.iterrows():
+            got = out.loc[doc_id]
+            assert got["skew_milli"] == row["gt_skew_milli"], doc_id
+            assert got["skew_applied"] == row["gt_skew_applied"], doc_id
+            assert got["mode"] == row["gt_mode"], doc_id
+            assert got["n_rows"] == row["gt_rows"], doc_id
+            assert got["n_cells_filled"] == row["gt_filled"], doc_id
+            assert (got["bbox_x0"], got["bbox_y0"]) \
+                == (row["gt_x0"], row["gt_y0"]), doc_id
+
+
 class TestSparkStages:
     def test_render_preprocess_matches_local_kernels(self, spark):
         docs = spark.createDataFrame(

@@ -673,6 +673,121 @@ def detect_table(gray: np.ndarray) -> dict:
             "bbox": (x0, y0, x1, y1), "n_cells_filled": filled}
 
 
+def canonical_skew_milli(img_upright: np.ndarray, milli: int) -> int:
+    """The angle ``detect_skew_milli`` will report for this image
+    synthesised at ``milli``: the first candidate in the detector's
+    tie order (smallest |angle|, positive first) whose column shifts
+    agree with the true angle's on every ink-bearing column — such
+    candidates shear this image pixel-identically, so the detector
+    cannot distinguish them and its deterministic order decides.
+    Computed from the draw plan + shift arithmetic, never by running
+    the detector."""
+    w = img_upright.shape[1]
+    ink_cols = np.flatnonzero((img_upright < 255).any(axis=0))
+    d_true = _col_shifts(w, milli)[ink_cols]
+    for m in sorted(range(-SKEW_MAX_MILLI, SKEW_MAX_MILLI + 1,
+                          SKEW_STEP_MILLI), key=lambda mi: (abs(mi), mi < 0)):
+        if np.array_equal(_col_shifts(w, m)[ink_cols], d_true):
+            return m
+    return milli
+
+
+SKEWED_TBL_MAX_MILLI = 5000      # ±5°: max shift tan(5°)·w/2 = 12.6 px
+                                 # < the table's h//8 >= 20 px margin
+
+
+def render_skewed_table_pages(docs: DataFrame, limit: int = 1024,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Composed-pipeline input (R2 ∘ S7): table pages sheared by a
+    seeded skew in ±5° (0.25° grid).  Ground truth is canonicalised
+    against the page's ink support (`canonical_skew_milli`); skews at
+    or under the reference's 0.5° correction gate (renderer.py:141)
+    are synthesised as 0 — an uncorrected sub-gate shear would break
+    the ruling-line spans, which mirrors the reference leaving such
+    pages untouched."""
+    sc = docs.sparkSession.sparkContext
+    slim = (docs.select(id_col).orderBy(id_col).limit(limit)
+            .repartition(sc.defaultParallelism, id_col))
+
+    schema = StructType([
+        StructField("doc_id", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("gt_skew_milli", LongType(), False),
+        StructField("gt_skew_applied", BooleanType(), False),
+        StructField("gt_mode", StringType(), False),
+        StructField("gt_rows", IntegerType(), False),
+        StructField("gt_cols", IntegerType(), False),
+        StructField("gt_filled", IntegerType(), False),
+        StructField("gt_x0", IntegerType(), False),
+        StructField("gt_y0", IntegerType(), False),
+        StructField("gt_x1", IntegerType(), False),
+        StructField("gt_y1", IntegerType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col].tolist():
+                seed = int.from_bytes(
+                    hashlib.md5(str(doc_id).encode()).digest()[:6], "big")
+                img, p = synth_table_page(seed)
+                steps = SKEWED_TBL_MAX_MILLI // SKEW_STEP_MILLI
+                milli = ((seed * RS_A) % (2 * steps + 1) - steps) \
+                    * SKEW_STEP_MILLI
+                if milli != 0:
+                    milli = canonical_skew_milli(img, milli)
+                if abs(milli) <= 500:
+                    milli = 0
+                sheared = shear(img, milli) if milli else img
+                rgb = np.repeat(sheared[:, :, None], 3, axis=2)
+                bx0, by0, bx1, by1 = p["bbox"]
+                rows.append((str(doc_id),
+                             encode_bmp(np.ascontiguousarray(rgb)),
+                             milli, milli != 0,
+                             p["mode"], p["n_rows"], p["n_cols"],
+                             p["n_cells_filled"], bx0, by0, bx1, by1))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return slim.mapInPandas(gen, schema=schema)
+
+
+DESKEW_TABLE_SCHEMA = StructType(
+    [StructField("doc_id", StringType(), False),
+     StructField("skew_milli", LongType(), True),
+     StructField("skew_applied", BooleanType(), True)]
+    + TABLE_SCHEMA.fields[1:])
+
+
+def deskew_and_extract(pages: DataFrame) -> DataFrame:
+    """R2 ∘ S7 as ONE shuffle-free mapInPandas stage: detect the
+    shear, correct it under the reference gate, then run the table
+    tiers on the corrected pixels.  Reads only (doc_id, payload)."""
+    slim = pages.select("doc_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload)) if payload is not None else None
+                if px is None:
+                    rows.append((doc_id,) + (None,) * 10)
+                    continue
+                gray = px[:, :, 0]
+                milli = detect_skew_milli(gray)
+                applied = 500 < abs(milli) < 15000     # renderer.py:141
+                if applied:
+                    gray = fix_skew(gray, milli)
+                m = detect_table(gray)
+                bx0, by0, bx1, by1 = m["bbox"]
+                rows.append((doc_id, milli, applied, m["mode"],
+                             m["n_rows"], m["n_cols"],
+                             bx0, by0, bx1, by1, m["n_cells_filled"]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DESKEW_TABLE_SCHEMA.fields])
+
+    return slim.mapInPandas(run, schema=DESKEW_TABLE_SCHEMA)
+
+
 def render_table_pages(docs: DataFrame, limit: int = 1024,
                        id_col: str = "doc_id") -> DataFrame:
     """Documents → one synthetic table page each (binary BMP payload +

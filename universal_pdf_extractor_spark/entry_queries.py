@@ -1061,6 +1061,58 @@ def raster_table_extract(spark, sf_dir):
     return extract_tables(snap).join(F.broadcast(meta), "doc_id")
 
 
+SKEWED_TBL_SNAPSHOT = "/tmp/updx_oracle_inputs/raster_skewed_tables.parquet"
+_SKEWED_TBL_WRITTEN: set[str] = set()
+
+
+def _raster_deskew_tables_sql() -> str:
+    """Oracle for the composed R2∘S7 pipeline: ground truth carries
+    the CANONICAL skew (the ink-support tie representative the
+    detector must report — datapipe/raster.py:canonical_skew_milli)
+    and the upright table geometry; the engine must first recover the
+    shear from pixels, correct it, then detect the grid."""
+    return f"""
+    SELECT doc_id,
+           CAST(gt_skew_milli AS BIGINT) AS skew_milli,
+           gt_skew_applied AS skew_applied,
+           gt_mode AS mode,
+           CAST(gt_rows AS INT) AS n_rows,
+           CAST(gt_cols AS INT) AS n_cols,
+           CAST(gt_x0 AS INT) AS bbox_x0, CAST(gt_y0 AS INT) AS bbox_y0,
+           CAST(gt_x1 AS INT) AS bbox_x1, CAST(gt_y1 AS INT) AS bbox_y1,
+           CAST(gt_filled AS INT) AS n_cells_filled,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           sha256(lower(hex(payload))) AS payload_digest
+    FROM read_parquet('{SKEWED_TBL_SNAPSHOT}/*.parquet')
+    """
+
+
+@register("raster_deskew_table_extract", None)  # SQL attached below
+def raster_deskew_table_extract(spark, sf_dir):
+    """Composed raster pipeline (R2 ∘ S7, the preprocess→table-engine
+    hand-off of renderer.py:221-242 → orchestrator table tiers):
+    sheared table pages in, one shuffle-free mapInPandas pass that
+    detects the shear, corrects it under the 0.5°<|θ|<15° gate, and
+    runs lattice/stream table detection on the corrected pixels —
+    both stages' outputs hash-checked against synthesis ground truth
+    in a single query, so an error ANYWHERE in the composition
+    (wrong angle, wrong correction direction, detection on
+    uncorrected pixels) breaks the hash."""
+    from .datapipe.raster import deskew_and_extract, render_skewed_table_pages
+    docs = _read(spark, sf_dir, "documents")
+    pages = render_skewed_table_pages(docs)
+    if _SKEWED_TBL_WRITTEN != {sf_dir}:
+        pages.write.mode("overwrite").parquet(SKEWED_TBL_SNAPSHOT)
+        _SKEWED_TBL_WRITTEN.clear()
+        _SKEWED_TBL_WRITTEN.add(sf_dir)
+    snap = spark.read.parquet(SKEWED_TBL_SNAPSHOT)
+    meta = snap.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2(F.lower(F.hex("payload")), 256).alias("payload_digest"))
+    return deskew_and_extract(snap).join(F.broadcast(meta), "doc_id")
+
+
 def _review_scored_slice(spark, sf_dir):
     """Exact-integer conversation scoring over the REAL pipeline
     records restricted to the two fully-oracled fallback tiers
@@ -3265,6 +3317,8 @@ def _attach_turns_sql() -> None:
     _REGISTRY["raster_preprocess"] = (fn, _raster_sql())
     fn, _ = _REGISTRY["raster_table_extract"]
     _REGISTRY["raster_table_extract"] = (fn, _raster_tables_sql())
+    fn, _ = _REGISTRY["raster_deskew_table_extract"]
+    _REGISTRY["raster_deskew_table_extract"] = (fn, _raster_deskew_tables_sql())
     fn, _ = _REGISTRY["xlsx_styled_export"]
     _REGISTRY["xlsx_styled_export"] = (fn, f"""
     WITH {view},
