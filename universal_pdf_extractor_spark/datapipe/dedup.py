@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
+from ..parallel import spread
+
 MERSENNE_PRIME = (1 << 31) - 1  # 31-bit field: a*h+b stays far below int64 under ANSI mode
 
 # 60-bit cross-engine hash: first 15 hex chars of md5.  Spark and
@@ -60,9 +62,12 @@ def exact_duplicates(documents: DataFrame,
     Shuffles on sha2(text) so the wide text column never keys an
     exchange; map-side partial aggregation applies.
     """
-    normed = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.sha2(normalize_text(F.col(text_col)), 256).alias("content_hash"),
+    normed = spread(
+        documents.select(F.col(id_col).alias("doc_id"),
+                         F.col(text_col).alias("text")), "doc_id",
+    ).select(
+        F.col("doc_id"),
+        F.sha2(normalize_text(F.col("text")), 256).alias("content_hash"),
     )
     return (
         normed.groupBy("content_hash")
@@ -109,9 +114,16 @@ def ngram_jaccard_pairs(documents: DataFrame,
     # and both verification sides).  Materializing it behind one
     # hash(doc_id) exchange lets every branch ReusedExchange the
     # computed arrays instead of re-deriving them from the scan.
-    docs = documents.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
+    # ``spread`` first: a single-file input plans as ONE scan task, and
+    # the shingle projection would otherwise run below the barrier on
+    # one core (guide §2: the exchange must sit ABOVE the expensive
+    # narrow compute for the compute to parallelize).
+    docs = spread(
+        documents.select(F.col(id_col).alias("doc_id"),
+                         F.col(text_col).alias("text")), "doc_id",
+    ).select(
+        F.col("doc_id"),
+        word_shingles(F.col("text"), n).alias("shingles"),
     ).withColumn("n_shingles", F.size("shingles")).repartition("doc_id")
 
     # candidate phase runs on 64-bit shingle hashes, not strings: the
@@ -246,9 +258,15 @@ def minhash_signatures(documents: DataFrame,
     stage.)  Values are unchanged: min over pmod(h*a_i + b_i, p) with
     a_i = 2i+1, b_i = (i*0x9E3779B9 + 0x85EBCA6B) mod p."""
     p = MERSENNE_PRIME
-    docs = documents.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
+    # spread before the fold: the md5-per-shingle + 64-permutation
+    # reduction is the dominant narrow compute and must sit above an
+    # exchange, not below the single scan task of a small input
+    docs = spread(
+        documents.select(F.col(id_col).alias("doc_id"),
+                         F.col(text_col).alias("text")), "doc_id",
+    ).select(
+        F.col("doc_id"),
+        word_shingles(F.col("text"), n).alias("shingles"),
     )
     hs = F.transform("shingles", lambda s: F.pmod(hash60(s), F.lit(p)))
     ab = F.arrays_zip(
@@ -348,9 +366,14 @@ def simhash_fingerprints(documents: DataFrame,
     total, no UDF.  60 bits (not 64) because the cross-engine hash60
     provides 60 uniform bits — hamming semantics are unchanged.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    hashed = documents.select(
-        F.col(id_col).alias("doc_id"),
+    words = F.split(normalize_text(F.col("text")), " ")
+    # spread: the per-token md5 hashing below is the expensive narrow
+    # stage; see ngram_jaccard_pairs
+    hashed = spread(
+        documents.select(F.col(id_col).alias("doc_id"),
+                         F.col(text_col).alias("text")), "doc_id",
+    ).select(
+        F.col("doc_id"),
         F.transform(words, lambda w: hash60(w)).alias("hs"),
         F.size(words).alias("n_tokens"),
     )
@@ -375,7 +398,11 @@ def simhash_near_dups(documents: DataFrame,
     """Near-dup pairs by SimHash: block on 4 x 15-bit sub-fingerprints
     (pigeonhole: hamming<=3 pairs share at least one exact block),
     verify hamming distance exactly."""
-    fps = simhash_fingerprints(documents, id_col, text_col)
+    # barrier after the fingerprint fold: the self-join's two sides and
+    # the 4-way block explode all reuse ONE fingerprint computation via
+    # ReusedExchange instead of re-deriving the 60 per-bit counts
+    fps = simhash_fingerprints(documents, id_col, text_col) \
+        .repartition("doc_id")
     blocked = fps.select(
         "doc_id", "simhash",
         F.explode(F.array(*[

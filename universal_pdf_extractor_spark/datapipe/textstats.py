@@ -11,6 +11,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
+from ..parallel import spread
+
+
+def _slim(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Project to (id, text) and apply the scan-parallelism floor so
+    the per-document expression work parallelizes even when the input
+    is a single small file (guide §2; no-op on real corpora)."""
+    return spread(documents.select(id_col, text_col), id_col)
+
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 LANG_PROFILES = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
@@ -39,7 +48,7 @@ def token_count(documents: DataFrame, id_col: str = "doc_id",
     """Whitespace token count + a BPE-ish subword estimate
     (ceil(chars/4) per token, the common 4-chars-per-token rule)."""
     toks = tokens_col(F.col(text_col))
-    return documents.select(
+    return _slim(documents, id_col, text_col).select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.aggregate(toks, F.lit(0).cast("long"),
@@ -80,7 +89,7 @@ def quality_scores(documents: DataFrame, id_col: str = "doc_id",
         + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.2
         + (1.0 - F.least(digit_ratio * 4.0, F.lit(1.0))) * 0.2
     )
-    return documents.select(
+    return _slim(documents, id_col, text_col).select(
         F.col(id_col).alias("doc_id"),
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
@@ -106,7 +115,7 @@ def language_id(documents: DataFrame, id_col: str = "doc_id",
                                    F.lit(-order).alias("neg_order"),
                                    F.lit(lang).alias("lang")))
     best = F.greatest(*candidates)
-    return documents.select(
+    return _slim(documents, id_col, text_col).select(
         F.col(id_col).alias("doc_id"),
         F.when(best["rate"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
         F.round(best["rate"], 6).alias("stopword_hit_rate"),
@@ -146,7 +155,12 @@ def repetition_scores(documents: DataFrame, id_col: str = "doc_id",
         lambda a, x: a + F.when(
             F.size(F.filter(lines, lambda y: y == x)) > 1,
             F.length(x)).otherwise(F.lit(0)))
-    base = documents.select(
+    # barrier after the array construction: `base` feeds THREE plan
+    # branches (line stats + 2-gram + 3-gram); the exchange lets them
+    # reuse one computation of the line/token arrays instead of each
+    # re-deriving them from the scan (and distributes that computation
+    # when the scan is a single small file)
+    base = _slim(documents, id_col, text_col).select(
         F.col(id_col).alias("doc_id"),
         tokens_col(F.lower(t)).alias("toks"),
         n_lines.cast("long").alias("n_lines"),
@@ -160,7 +174,7 @@ def repetition_scores(documents: DataFrame, id_col: str = "doc_id",
         .alias("dup_line_frac"),
         (dup_chars / F.greatest(line_chars.cast("double"), F.lit(1.0)))
         .alias("dup_line_char_frac"),
-    )
+    ).repartition("doc_id")
 
     def grams(k: int):
         n = F.size(F.col("toks"))
@@ -228,7 +242,7 @@ def pii_scan(documents: DataFrame, id_col: str = "doc_id",
     for c in counts[1:]:
         total = total + c
     cols.append((total > 0).alias("has_pii"))
-    return documents.select(*cols)
+    return _slim(documents, id_col, text_col).select(*cols)
 
 
 def duplicate_lines(documents: DataFrame, min_docs: int = 2,
@@ -250,7 +264,7 @@ def duplicate_lines(documents: DataFrame, min_docs: int = 2,
     """
     from .dedup import hash60
 
-    lines = documents.select(
+    lines = _slim(documents, id_col, text_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(_norm_lines(F.col(text_col))).alias("line"))
     partial = (lines
@@ -286,7 +300,7 @@ def fingerprints(documents: DataFrame, id_col: str = "doc_id",
                               + F.pmod(hash60(t), F.lit(ROLLING_MOD)),
                               F.lit(ROLLING_MOD)),
     )
-    return documents.select(
+    return _slim(documents, id_col, text_col).select(
         F.col(id_col).alias("doc_id"),
         rolling.alias("fingerprint"),
         F.sha2(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), 256)

@@ -267,7 +267,9 @@ def quality_gate_filter(spark, sf_dir):
 def boilerplate_strip_docs(spark, sf_dir):
     """S3+P5/P6 flagship slice over the documents table: reading-order
     normalization + boilerplate suppression, all JVM-side."""
-    docs = _read(spark, sf_dir, "documents")
+    from .parallel import spread
+    docs = spread(_read(spark, sf_dir, "documents")
+                  .select("doc_id", "text"), "doc_id")
     from .kernels.patterns import BALANCE_MARKER_RLIKE, SUMMARY_ROW_RLIKE
     norm = F.filter(
         F.transform(F.split(F.col("text"), "\n"),
@@ -294,7 +296,9 @@ def date_parse_roundtrip(spark, sf_dir):
     def parse_uk(raw: pd.Series) -> pd.Series:
         return parse_date_batch(raw)
 
-    orders = _read(spark, sf_dir, "orders")
+    from .parallel import spread
+    orders = spread(_read(spark, sf_dir, "orders")
+                    .select("o_orderkey", "o_orderdate"), "o_orderkey")
     rendered = F.date_format(F.col("o_orderdate"), "dd/MM/yyyy")
     return orders.select("o_orderkey", parse_uk(rendered).alias("posted_date"))
 
@@ -328,7 +332,12 @@ def amount_parse_roundtrip(spark, sf_dir):
         out.loc[ok] = (amounts[ok] * 100).astype("float64").round().astype("Int64")
         return out
 
-    li = _read(spark, sf_dir, "lineitem")
+    from .parallel import spread
+    # scan-parallelism floor: lineitem is one small file -> one scan
+    # task, which would run the whole pandas-UDF parse on a single core
+    li = spread(_read(spark, sf_dir, "lineitem")
+                .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+                "l_orderkey")
     cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
     whole = F.floor(cents / 100).cast("long")
     frac = F.lpad((cents % 100).cast("string"), 2, "0")
