@@ -40,6 +40,14 @@ class AmountParse(NamedTuple):
 
 _NULL_PARSE = AmountParse(None, False, None, 0.0)
 
+_DEC_10M = Decimal("10000000")
+# currency-marker fast probe: every stripped marker contains one of
+# these characters, so a string without any of them skips the 8-way
+# replace chain (the overwhelmingly common case for plain numerals)
+_CCY_CHARS = frozenset("GgEe$\\" + _POUND)
+# a DR/CR/D/C suffix must end in one of these characters
+_DRCR_LAST = frozenset("RrCcDd")
+
 
 def parse_amount(raw: str) -> AmountParse:
     """Parse one amount string under UK statement conventions."""
@@ -51,11 +59,12 @@ def parse_amount(raw: str) -> AmountParse:
 
     # currency markers (incl. the literal escaped sequences the
     # reference strips, for byte parity)
-    for marker in ("GBP", "gbp", "$", "EUR", "eur", "\\u00a3", "\\u20a4", _POUND):
-        s = s.replace(marker, "")
-    s = s.strip()
-    if not s:
-        return _NULL_PARSE
+    if not _CCY_CHARS.isdisjoint(s):
+        for marker in ("GBP", "gbp", "$", "EUR", "eur", "\\u00a3", "\\u20a4", _POUND):
+            s = s.replace(marker, "")
+        s = s.strip()
+        if not s:
+            return _NULL_PARSE
 
     is_negative = False
     sign_convention = "NONE"
@@ -65,7 +74,7 @@ def parse_amount(raw: str) -> AmountParse:
         is_negative = True
         sign_convention = "PARENTHESES"
 
-    m = _DRCR_SUFFIX_RE.match(s)
+    m = _DRCR_SUFFIX_RE.match(s) if s[-1:] in _DRCR_LAST else None
     if m:
         s = m.group(1).strip()
         suffix = m.group(2).upper()
@@ -105,9 +114,9 @@ def parse_amount(raw: str) -> AmountParse:
     if sign_convention in ("DR_CR", "MINUS"):
         confidence = 0.90
     abs_amount = abs(amount)
-    if abs_amount > Decimal("10000000"):
+    if abs_amount > _DEC_10M:
         confidence = 0.5
-    if abs_amount == Decimal("0"):
+    if not abs_amount:
         confidence = 0.80
 
     return AmountParse(amount, is_negative, sign_convention, confidence)

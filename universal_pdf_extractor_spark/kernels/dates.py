@@ -129,6 +129,15 @@ def _resolve(m: re.Match, fmt: str,
     return None
 
 
+# Memo over (raw, period, today): statement corpora render a bounded
+# set of distinct date strings (days x formats), so the regex ladder
+# re-parses the same strings constantly.  DateParse is an immutable
+# NamedTuple, safe to share; the table is cleared when it exceeds the
+# cap so adversarial high-cardinality input cannot grow worker memory.
+_PARSE_MEMO: dict[tuple, DateParse] = {}
+_PARSE_MEMO_CAP = 1 << 16
+
+
 def parse_date(raw: str,
                period_start: Optional[date] = None,
                period_end: Optional[date] = None,
@@ -136,6 +145,21 @@ def parse_date(raw: str,
     """Parse one date string through the UK-first ladder."""
     if raw is None:
         return _NULL_PARSE
+    key = (raw, period_start, period_end, today)
+    hit = _PARSE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    result = _parse_date_uncached(raw, period_start, period_end, today)
+    if len(_PARSE_MEMO) >= _PARSE_MEMO_CAP:
+        _PARSE_MEMO.clear()
+    _PARSE_MEMO[key] = result
+    return result
+
+
+def _parse_date_uncached(raw: str,
+                         period_start: Optional[date],
+                         period_end: Optional[date],
+                         today: date) -> DateParse:
     raw_clean = raw.strip()
 
     for pattern, fmt, potentially_ambiguous in DATE_LADDER:

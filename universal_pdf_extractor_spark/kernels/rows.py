@@ -70,7 +70,12 @@ def reconstruct_rows(lines: list[dict],
     for i, line in enumerate(lines):
         cells = cells_per_line[i]
 
-        if is_balance_marker(line["text"]):
+        # memoized on the shared line dict: the preliminary and final
+        # passes would otherwise run the marker regex twice per line
+        is_marker = line.get("_is_bal")
+        if is_marker is None:
+            is_marker = line["_is_bal"] = is_balance_marker(line["text"])
+        if is_marker:
             if current:
                 rows.append(current)
                 current = None

@@ -103,9 +103,18 @@ RECORD_COLUMNS = _COLUMNS
 DIAG_COLUMNS = ["conv_id", "segment_index"] + [f.name for f in _DIAG_FIELDS]
 
 
+_CONF_MEMO: dict[float, Decimal] = {}
+
+
 def _conf(x: float) -> Decimal:
-    # reference persists Decimal(str(round(x, 4))) (orchestrator.py:676-678)
-    return Decimal(str(round(x, 4)))
+    # reference persists Decimal(str(round(x, 4))) (orchestrator.py:676-678);
+    # confidences take a handful of distinct values, so memoize
+    d = _CONF_MEMO.get(x)
+    if d is None:
+        if len(_CONF_MEMO) >= 4096:
+            _CONF_MEMO.clear()
+        d = _CONF_MEMO[x] = Decimal(str(round(x, 4)))
+    return d
 
 
 def _extract_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
