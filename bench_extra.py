@@ -105,6 +105,21 @@ def main() -> None:
                 c.unpersist()
 
         results["p5_full_persist"] = timed(spark, "p5 full pipeline (persist+write)", full)
+
+        # p5 sub-breakdown: force each output of ONE persisted assembly
+        import shutil
+        out_dir = f"/tmp/updf_extra/out2_sf{sf}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        outputs = run_pipeline(transcripts, persist=True)
+        cached = [outputs.pop(k) for k in list(outputs) if k.startswith("_")]
+        for name, df in outputs.items():
+            results[f"p5_{name}"] = timed(
+                spark, f"p5.write {name}",
+                lambda name=name, df=df: df.write.mode("overwrite")
+                    .parquet(os.path.join(out_dir, name)), n=1)
+        for c in cached:
+            c.unpersist()
+
         results["p6_full_nopersist"] = timed(
             spark, "p6 full pipeline (no persist)", lambda: full(False), n=1)
 

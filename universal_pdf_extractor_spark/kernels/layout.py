@@ -152,6 +152,51 @@ def tokenize_turn(text: Optional[str]) -> tuple[list[dict], list[dict]]:
     return tokens, lines
 
 
+def tokenize_turn_lines(text: Optional[str]) -> list[dict]:
+    """Lean tokenizer for the segment-analysis path: lines only.
+
+    Emits exactly :func:`tokenize_turn`'s ``lines`` (same text, y0/y1,
+    line_index, token text/start/end/col0/col1) MINUS the fields that
+    path provably never reads before they are overwritten or at all:
+    token x0/x1 (``_rescale_segment_geometry`` re-derives every x from
+    col0/col1 over the segment-wide width as the first step of
+    ``analyse_segment``), token y0/y1/confidence/line_origin, and line
+    x0/x1/confidence.  Skipping them also skips the per-turn page-width
+    scan and the x/y memo-table lookups — about a third of the full
+    tokenizer's cost on statement-shaped turns.  Parity of the shared
+    fields is pinned by tests/test_layout.py.
+    """
+    if not text:
+        return []
+    raw_lines = text.split("\n")
+    y0s, y1s = _y_tables(len(raw_lines))
+    finditer = _TOKEN_RE.finditer
+
+    lines: list[dict] = []
+    offset = 0
+    for i, raw in enumerate(raw_lines):
+        line_tokens = [
+            {
+                "text": m.group(0),
+                "start": offset + m.start(),
+                "end": offset + m.end(),
+                "col0": m.start(),
+                "col1": m.end(),
+            }
+            for m in finditer(raw)
+        ]
+        if line_tokens:
+            lines.append({
+                "text": " ".join(t["text"] for t in line_tokens),
+                "y0": y0s[i],
+                "y1": y1s[i],
+                "line_index": len(lines),
+                "tokens": line_tokens,
+            })
+        offset += len(raw) + 1
+    return lines
+
+
 def cluster_tokens_to_lines(tokens: list[dict], y_tolerance: float = Y_TOLERANCE) -> list[dict]:
     """Greedy y-clustering of an arbitrary token soup into lines.
 

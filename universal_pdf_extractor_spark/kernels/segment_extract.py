@@ -741,7 +741,10 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
         lines = lines[header_idx + 1:]
 
     cells_per_line = precompute_cells(lines, columns)
-    preliminary_rows = reconstruct_rows(
+    # lazy: only evaluated when headers leave columns unassigned or the
+    # balance-promotion gate needs row evidence (assign_column_roles);
+    # fully-headered segments skip this whole preliminary pass
+    preliminary_rows = lambda: reconstruct_rows(  # noqa: E731
         lines, columns,
         date_column_index=0,
         amount_column_indices=[c["column_index"] for c in columns if c["column_index"] > 0],

@@ -209,9 +209,23 @@ def match_header(header_text: str) -> Optional[str]:
 
 def assign_column_roles(columns: list[dict],
                         header_texts: Optional[list[str]],
-                        sample_rows: list[dict]) -> dict[int, str]:
-    """Four-pass role assignment; mutates columns[i]['role'] too."""
+                        sample_rows) -> dict[int, str]:
+    """Four-pass role assignment; mutates columns[i]['role'] too.
+
+    ``sample_rows`` may be a row list or a zero-arg callable returning
+    one: the rows are only consulted when headers leave columns
+    unassigned (pass 2) or the balance-promotion gate fires (pass 2.5),
+    so fully-headered segments — the dominant statement layout — never
+    pay for the preliminary row-reconstruction pass at all.
+    """
     roles: dict[int, str] = {}
+    _rows_cache: list = []
+
+    def _rows() -> list[dict]:
+        if not _rows_cache:
+            _rows_cache.append(sample_rows() if callable(sample_rows)
+                               else sample_rows)
+        return _rows_cache[0]
 
     # pass 1: header keywords
     if header_texts:
@@ -226,7 +240,7 @@ def assign_column_roles(columns: list[dict],
     _header_roles = set(roles)  # columns whose role came from a header
 
     # pass 2: statistics for unassigned columns (one vectorized pass)
-    all_stats = (column_stats(sample_rows, columns)
+    all_stats = (column_stats(_rows(), columns)
                  if any(i not in roles for i in range(len(columns))) else {})
     for i, col in enumerate(columns):
         if i in roles:
@@ -287,7 +301,7 @@ def assign_column_roles(columns: list[dict],
         if len(singles) >= 2:
             rightmost = max(singles, key=lambda i: columns[i]["x_start"])
             if _balance_chain_evidence(
-                    sample_rows, rightmost,
+                    _rows(), rightmost,
                     [i for i in singles if i != rightmost]):
                 roles[rightmost] = ROLE_BALANCE
 

@@ -39,7 +39,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernels.layout import tokenize_turn
+from ..kernels.layout import tokenize_turn_lines
 from ..kernels.segment_extract import analyse_segment
 
 # per-field provenance (transaction_evidence analogue, tables.py:388-420)
@@ -128,7 +128,7 @@ def _extract_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
 def _segment_lines(seg: pd.DataFrame) -> list[dict]:
     lines: list[dict] = []
     for turn_idx, payload in zip(seg["turn_idx"], seg["payload"]):
-        _, turn_lines = tokenize_turn(payload)
+        turn_lines = tokenize_turn_lines(payload)
         for ln in turn_lines:
             ln["turn_idx"] = int(turn_idx)
             lines.append(ln)
@@ -162,14 +162,20 @@ def _analyse_combined_into(pdf: pd.DataFrame, conv_id: str,
     DataFrame constructor as NaN -> null)."""
     for seg_idx, seg in pdf.groupby("segment_index", sort=True):
         result = analyse_segment(_segment_lines(seg))
+        seg_idx = int(seg_idx)
+        fallback_used = result["fallback_used"]
+        opening = result["opening_balance"]
+        closing = result["closing_balance"]
+        closing_distinct = result["closing_balance_distinct"]
         for rec in result["records"]:
-            # explicit None for the diag-only columns: pandas fills
-            # missing keys with float NaN, which Arrow cannot place in
-            # Decimal/struct-typed columns
-            out_rows.append(dict(dict.fromkeys(_COMBINED_COLUMNS), **{
+            # one dict literal covering every combined column, explicit
+            # None for the diag-only ones: pandas fills missing keys
+            # with float NaN, which Arrow cannot place in Decimal /
+            # struct-typed columns
+            out_rows.append({
                 "row_type": "record",
                 "conv_id": conv_id,
-                "segment_index": int(seg_idx),
+                "segment_index": seg_idx,
                 "row_index": rec["row_index"],
                 "turn_idx": rec["turn_idx"],
                 "posted_date": rec["posted_date"],
@@ -184,13 +190,20 @@ def _analyse_combined_into(pdf: pd.DataFrame, conv_id: str,
                 "confidence_amount": _conf(rec["confidence_amount"]),
                 "confidence_date": _conf(rec["confidence_date"]),
                 "confidence_direction": _conf(rec["confidence_direction"]),
-                "fallback_used": result["fallback_used"],
+                "fallback_used": fallback_used,
                 "evidence": [(e["field"], e["turn_idx"], e["start"], e["end"])
                              for e in rec["evidence"]],
-                "segment_opening_balance": result["opening_balance"],
-                "segment_closing_balance": result["closing_balance"],
-                "segment_closing_distinct": result["closing_balance_distinct"],
-            }))
+                "segment_opening_balance": opening,
+                "segment_closing_balance": closing,
+                "segment_closing_distinct": closing_distinct,
+                "engine": None,
+                "table_type": None,
+                "row_count": None,
+                "column_count": None,
+                "bbox_json": None,
+                "header_json": None,
+                "column_mapping_json": None,
+            })
         out_rows.append(dict(dict.fromkeys(_COMBINED_COLUMNS),
                              **_diag_row(conv_id, seg_idx,
                                          result["diagnostics"]),
