@@ -70,6 +70,51 @@ class TestSkew:
         for milli in (-12000, -3250, 1500, 9750):
             assert detect_skew_milli(shear(img, milli)) == milli
 
+    def test_prefix_run_accumulation_matches_scatter_add(self):
+        """The r6 prefix-sum/run-difference rewrite of the shear search
+        must reproduce the naive per-pixel scatter-add bit-exactly
+        (all summands are integer-valued float64, so every grouping is
+        exact) — including the var() argmax and its tie-breaks."""
+        import math
+
+        from universal_pdf_extractor_spark.datapipe.raster import (
+            SKEW_MAX_MILLI,
+            SKEW_STEP_MILLI,
+        )
+
+        def naive(gray):
+            ink = (255.0 - gray.astype(np.float64))
+            h, w = ink.shape
+            prof = ink.T
+            keep = prof.any(axis=1)
+            prof = prof[keep]
+            xs = (np.arange(w) - w // 2)[keep]
+            m = int(math.tan(math.radians(SKEW_MAX_MILLI / 1000.0)) * (w // 2)) + 2
+            best_var, best_milli = -1.0, 0
+            order = sorted(range(-SKEW_MAX_MILLI, SKEW_MAX_MILLI + 1,
+                                 SKEW_STEP_MILLI),
+                           key=lambda mi: (abs(mi), mi < 0))
+            base = np.arange(h)[None, :]
+            flat = prof.ravel()
+            size = h + 2 * m
+            for milli in order:
+                t = math.tan(math.radians(milli / 1000.0))
+                d = np.rint(t * xs).astype(np.int64)
+                idx = (base + (m - d)[:, None]).ravel()
+                acc = np.bincount(idx, weights=flat, minlength=size)
+                var = acc[m:m + h].var()
+                if var > best_var:
+                    best_var, best_milli = var, milli
+            return best_milli
+
+        img = _page(w=160, h=120)
+        rng = np.random.default_rng(11)
+        cases = [shear(img, milli) for milli in (-9000, -750, 0, 4250)]
+        cases.append(rng.integers(0, 256, size=(90, 70), dtype=np.uint8))
+        cases.append(np.full((60, 40), 255, dtype=np.uint8))  # blank
+        for gray in cases:
+            assert detect_skew_milli(gray) == naive(gray)
+
     def test_correction_gate_boundaries(self):
         """renderer.py:141: correct only when 0.5 < |angle| < 15 —
         both boundaries are strict."""

@@ -154,18 +154,32 @@ def ngram_jaccard_pairs(documents: DataFrame,
                   + 1)
     prefix = (ranked.withColumn("_r", F.row_number().over(w))
               .where(F.col("_r") <= prefix_len)
-              .select("doc_id", "n_shingles", "shingle"))
+              .select("doc_id", "n_shingles", "shingle", "_r"))
 
     left = prefix.select(F.col("doc_id").alias("a"),
-                         F.col("n_shingles").alias("na"), "shingle")
+                         F.col("n_shingles").alias("na"), "shingle",
+                         F.col("_r").alias("pa"))
     right = prefix.select(F.col("doc_id").alias("b"),
-                          F.col("n_shingles").alias("nb"), "shingle")
+                          F.col("n_shingles").alias("nb"), "shingle",
+                          F.col("_r").alias("pb"))
     # size filter (also lossless): jaccard >= t forces t*|B| <= |A| <= |B|/t;
-    # same epsilon as the prefix bound so exact-boundary sizes survive
+    # same epsilon as the prefix bound so exact-boundary sizes survive.
+    # PPJoin positional filter (lossless as well): jaccard >= t needs
+    # overlap >= alpha = ceil(t/(1+t) * (na+nb)).  For the globally
+    # FIRST shared shingle of a qualifying pair (which the prefix
+    # theorem places inside BOTH prefixes), every other common shingle
+    # sorts after it in both docs, so overlap <= 1 + min(na-pa, nb-pb);
+    # that join row therefore passes the bound, and rows that fail it
+    # can be dropped without losing the pair.
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
+                   * (F.col("na") + F.col("nb")) - F.lit(1e-9))
+    ubound = F.lit(1) + F.least(F.col("na") - F.col("pa"),
+                                F.col("nb") - F.col("pb"))
     candidates = (left.join(right, "shingle")
                   .where((F.col("a") < F.col("b"))
                          & (F.col("na") >= F.lit(threshold) * F.col("nb") - F.lit(1e-9))
-                         & (F.col("nb") >= F.lit(threshold) * F.col("na") - F.lit(1e-9)))
+                         & (F.col("nb") >= F.lit(threshold) * F.col("na") - F.lit(1e-9))
+                         & (ubound >= alpha))
                   .select("a", "b").distinct())
 
     sa = docs.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sa"),

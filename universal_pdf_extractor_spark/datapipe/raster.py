@@ -290,18 +290,30 @@ def detect_skew_milli(gray: np.ndarray) -> int:
     # the smallest-magnitude angle, deterministically
     order = sorted(range(-SKEW_MAX_MILLI, SKEW_MAX_MILLI + 1, SKEW_STEP_MILLI),
                    key=lambda mi: (abs(mi), mi < 0))
-    base = np.arange(h)[None, :]
-    flat = prof.ravel()
     size = h + 2 * m
+    # inverse shear as per-run range additions instead of a per-pixel
+    # scatter-add: d(x) = rint(tan*x) is monotone in x, so columns
+    # sharing a shift form contiguous runs, and each run's summed
+    # profile is a difference of two prefix-sum rows.  All entries are
+    # integer-valued float64 (ink counts) far below 2**53, so cumsum /
+    # subtraction / accumulation are exact and the resulting acc — and
+    # therefore every variance and the argmax — is bit-identical to
+    # the former bincount scatter-add, at ~1/4 the element traffic.
+    prefix = np.empty((len(xs) + 1, h))
+    prefix[0] = 0.0
+    np.cumsum(prof, axis=0, out=prefix[1:])
     for milli in order:
         t = math.tan(math.radians(milli / 1000.0))
         d = np.rint(t * xs).astype(np.int64)
-        # inverse shear as one scatter-add: column x contributes its
-        # profile at offset -d(x).  Summands are integer-valued
-        # float64 (ink counts), so bincount's accumulation order
-        # cannot perturb the result vs the per-shift slice loop.
-        idx = (base + (m - d)[:, None]).ravel()
-        acc = np.bincount(idx, weights=flat, minlength=size)
+        acc = np.zeros(size)
+        if len(d):
+            bounds = np.flatnonzero(np.diff(d)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(d)]))
+            for s, e in zip(starts, ends):
+                off = m - d[s]
+                acc[off:off + h] += prefix[e]
+                acc[off:off + h] -= prefix[s]
         var = acc[m:m + h].var()
         if var > best_var:
             best_var, best_milli = var, milli
