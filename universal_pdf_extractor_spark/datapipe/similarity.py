@@ -50,16 +50,21 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
     per partition and the only shuffle is the per-query top-k window
     over k*|queries| rows after local ranking.
     """
+    # norms are precomputed per side BEFORE the join: cosine_col would
+    # otherwise re-run the O(dim) norm fold once per joined pair (the
+    # corpus norm |queries| times, the query norm |corpus| times).
+    # Identical floats: same fold over the same array, just evaluated
+    # once.
     q = F.broadcast(queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-    ))
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("qnorm", _norm(F.col("qvec"))))
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    )
+    ).withColumn("vnorm", _norm(F.col("vec")))
     scored = corpus.crossJoin(q).where(F.col("vec_id") != F.col("query_id")).withColumn(
-        "cosine", cosine_col(F.col("vec"), F.col("qvec").cast("array<double>")))
+        "cosine", _dot(F.col("vec"), F.col("qvec")) / (F.col("vnorm") * F.col("qnorm")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -98,9 +103,11 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame,
     cross join: cost ~ corpus * tables / 2^n_planes per query bucket.
     """
     corpus = embeddings.select(F.col(id_col).alias("vec_id"),
-                               F.col(vec_col).cast("array<double>").alias("vec"))
+                               F.col(vec_col).cast("array<double>").alias("vec")) \
+                       .withColumn("vnorm", _norm(F.col("vec")))
     q = queries.select(F.col(query_id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qvec"))
+                       F.col(vec_col).cast("array<double>").alias("qvec")) \
+               .withColumn("qnorm", _norm(F.col("qvec")))
 
     corpus_buckets = []
     query_buckets = []
@@ -113,18 +120,19 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame,
             F.struct(F.lit(t).alias("table"),
                      _bucket_col(F.col("qvec"), planes).alias("bucket")))
 
-    c = corpus.select("vec_id", "vec",
+    c = corpus.select("vec_id", "vec", "vnorm",
                       F.explode(F.array(*corpus_buckets)).alias("tb")) \
-              .select("vec_id", "vec", "tb.table", "tb.bucket")
-    qb = q.select("query_id", "qvec",
+              .select("vec_id", "vec", "vnorm", "tb.table", "tb.bucket")
+    qb = q.select("query_id", "qvec", "qnorm",
                   F.explode(F.array(*query_buckets)).alias("tb")) \
-          .select("query_id", "qvec", "tb.table", "tb.bucket")
+          .select("query_id", "qvec", "qnorm", "tb.table", "tb.bucket")
 
     candidates = (c.join(F.broadcast(qb), ["table", "bucket"])
-                  .select("query_id", "qvec", "vec_id", "vec")
+                  .select("query_id", "qvec", "qnorm", "vec_id", "vec", "vnorm")
                   .dropDuplicates(["query_id", "vec_id"]))
     scored = (candidates.where(F.col("vec_id") != F.col("query_id"))
-              .withColumn("cosine", cosine_col(F.col("vec"), F.col("qvec"))))
+              .withColumn("cosine", _dot(F.col("vec"), F.col("qvec"))
+                          / (F.col("vnorm") * F.col("qnorm"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -138,14 +146,18 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame,
     """IVF top-k: deterministic seed centroids (lowest vec_ids), one
     Lloyd step computed distributively, then probe-limited scoring."""
     corpus = embeddings.select(F.col(id_col).alias("vec_id"),
-                               F.col(vec_col).cast("array<double>").alias("vec"))
+                               F.col(vec_col).cast("array<double>").alias("vec")) \
+                       .withColumn("vnorm", _norm(F.col("vec")))
     seeds = corpus.orderBy("vec_id").limit(n_centroids) \
                   .select(F.col("vec_id").alias("centroid_id"),
-                          F.col("vec").alias("cvec"))
+                          F.col("vec").alias("cvec"),
+                          F.col("vnorm").alias("cnorm"))
 
-    # assignment to nearest seed, then mean per cluster (one Lloyd step)
+    # assignment to nearest seed, then mean per cluster (one Lloyd step);
+    # per-side norms precomputed once instead of per crossJoined pair
     assigned = (corpus.crossJoin(F.broadcast(seeds))
-                .withColumn("cos", cosine_col(F.col("vec"), F.col("cvec"))))
+                .withColumn("cos", _dot(F.col("vec"), F.col("cvec"))
+                            / (F.col("vnorm") * F.col("cnorm"))))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
     assigned = assigned.withColumn("rnk", F.row_number().over(w)).where("rnk = 1")
     # scale-safe Lloyd step: posexplode to (centroid, dim) cells —
@@ -165,25 +177,30 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame,
     centroids = (dims.groupBy("centroid_id")
                  .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
                  .select("centroid_id",
-                         F.transform("pm", lambda s: s["mean"]).alias("cvec")))
+                         F.transform("pm", lambda s: s["mean"]).alias("cvec"))
+                 .withColumn("cnorm", _norm(F.col("cvec"))))
 
     inv = (corpus.crossJoin(F.broadcast(centroids))
-           .withColumn("cos", cosine_col(F.col("vec"), F.col("cvec"))))
+           .withColumn("cos", _dot(F.col("vec"), F.col("cvec"))
+                       / (F.col("vnorm") * F.col("cnorm"))))
     inv = inv.withColumn("rnk", F.row_number().over(w)).where("rnk = 1") \
-             .select("vec_id", "vec", "centroid_id")
+             .select("vec_id", "vec", "vnorm", "centroid_id")
 
     q = queries.select(F.col(query_id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qvec"))
+                       F.col(vec_col).cast("array<double>").alias("qvec")) \
+               .withColumn("qnorm", _norm(F.col("qvec")))
     q_probe = (q.crossJoin(F.broadcast(centroids))
-               .withColumn("cos", cosine_col(F.col("qvec"), F.col("cvec"))))
+               .withColumn("cos", _dot(F.col("qvec"), F.col("cvec"))
+                           / (F.col("qnorm") * F.col("cnorm"))))
     wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
     q_probe = (q_probe.withColumn("rnk", F.row_number().over(wq))
                .where(F.col("rnk") <= n_probe)
-               .select("query_id", "qvec", "centroid_id"))
+               .select("query_id", "qvec", "qnorm", "centroid_id"))
 
     scored = (inv.join(F.broadcast(q_probe), "centroid_id")
               .where(F.col("vec_id") != F.col("query_id"))
-              .withColumn("cosine", cosine_col(F.col("vec"), F.col("qvec"))))
+              .withColumn("cosine", _dot(F.col("vec"), F.col("qvec"))
+                          / (F.col("vnorm") * F.col("qnorm"))))
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(wr))
             .where(F.col("rank") <= k)
