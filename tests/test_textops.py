@@ -215,3 +215,42 @@ class TestJsonlSource:
             read_transcripts_jsonl(spark, str(p)).collect()
         rows = read_transcripts_jsonl(spark, str(p), mode="PERMISSIVE").collect()
         assert [r.conv_id for r in rows] == ["c1"]
+
+
+class TestSignatureEdgeCases:
+    """Pin the r6 explode+aggregate rewrites of minhash_signatures and
+    simhash_fingerprints on the degenerate inputs the old array-fold
+    versions defined: null text -> all-null signature / simhash 0 with
+    n_tokens -1 (size(null) semantics); empty text -> the ''-token
+    signature; normal docs keep one output row per doc_id."""
+
+    def test_minhash_null_and_empty_text(self, spark):
+        from universal_pdf_extractor_spark.datapipe.dedup import (
+            minhash_signatures,
+        )
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3],
+                          "text": [None, "", "alpha beta gamma delta"]}))
+        out = {r["doc_id"]: r["signature"]
+               for r in minhash_signatures(docs).collect()}
+        assert len(out) == 3
+        assert all(v is None for v in out[1])
+        assert len(out[1]) == 64
+        assert all(v is not None for v in out[2])  # '' still hashes
+        assert all(v is not None for v in out[3])
+        assert out[2] != out[3]
+
+    def test_simhash_null_and_empty_text(self, spark):
+        from universal_pdf_extractor_spark.datapipe.dedup import (
+            simhash_fingerprints,
+        )
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3],
+                          "text": [None, "", "alpha beta gamma delta"]}))
+        out = {r["doc_id"]: (r["simhash"], r["n_tokens"])
+               for r in simhash_fingerprints(docs).collect()}
+        assert len(out) == 3
+        assert out[1] == (0, -1)      # null text: size(null) = -1, no bits
+        assert out[2][1] == 1          # '' tokenizes to one '' token
+        assert out[3][1] == 4
+        assert out[3][0] != 0

@@ -282,24 +282,26 @@ def minhash_signatures(documents: DataFrame,
         F.col("doc_id"),
         word_shingles(F.col("text"), n).alias("shingles"),
     )
-    hs = F.transform("shingles", lambda s: F.pmod(hash60(s), F.lit(p)))
-    ab = F.arrays_zip(
-        F.array(*[F.lit(2 * i + 1).cast("long") for i in range(num_hashes)]).alias("a"),
-        F.array(*[F.lit((i * 0x9E3779B9 + 0x85EBCA6B) % p).cast("long")
-                  for i in range(num_hashes)]).alias("b"),
-    )
-    # p is an unreachable sentinel (pmod < p always): a doc whose only
-    # shingle hash is null (null/empty text) folds to [p]*k, mapped
-    # back to nulls below to keep the all-null-signature contract the
-    # SQL oracle's list_min reproduces
-    init = F.array(*[F.lit(p).cast("long")] * num_hashes)
-    folded = F.aggregate(
-        hs, init,
-        lambda acc, h: F.zip_with(
-            acc, ab,
-            lambda m, c: F.least(m, F.pmod(h * c["a"] + c["b"], F.lit(p)))))
-    sig = F.transform(folded, lambda v: F.when(v < p, v))
-    return docs.select("doc_id", sig.alias("signature"))
+    # explode + k conditional MIN aggregates instead of an array fold:
+    # the former zip_with fold allocated a fresh k-element array per
+    # shingle (GC-heavy and codegen-hostile); per-row multiply-add-mod
+    # expressions with map-side partial MIN aggregation produce the
+    # SAME values (min over the same pmod terms; MIN ignores nulls and
+    # an all-null group yields null, matching the old p-sentinel /
+    # null-signature contract reproduced by the SQL oracle's list_min).
+    # doc_id is assumed unique per document (it is the table key).
+    h = F.pmod(hash60(F.col("shingle")), F.lit(p))
+    exploded = docs.select(
+        "doc_id", F.explode_outer("shingles").alias("shingle"))
+    mins = [
+        F.min(F.pmod(h * F.lit(2 * i + 1)
+                     + F.lit((i * 0x9E3779B9 + 0x85EBCA6B) % p),
+                     F.lit(p))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*mins)
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+    return agg.select("doc_id", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(documents: DataFrame,
@@ -380,29 +382,42 @@ def simhash_fingerprints(documents: DataFrame,
     total, no UDF.  60 bits (not 64) because the cross-engine hash60
     provides 60 uniform bits — hamming semantics are unchanged.
     """
-    words = F.split(normalize_text(F.col("text")), " ")
-    # spread: the per-token md5 hashing below is the expensive narrow
-    # stage; see ngram_jaccard_pairs
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    # explode + 60 conditional SUM aggregates instead of 60 per-doc
+    # array filters: F.size(F.filter(hs, bit_j)) allocated a filtered
+    # copy of the token-hash array per bit per doc (GC-heavy); summing
+    # (h >> j) & 1 per exploded token with map-side partial aggregation
+    # counts exactly the same bits.  ``spread`` first: the per-token
+    # md5 hashing is the expensive narrow stage (see
+    # ngram_jaccard_pairs).  doc_id is assumed unique (table key).
     hashed = spread(
         documents.select(F.col(id_col).alias("doc_id"),
                          F.col(text_col).alias("text")), "doc_id",
     ).select(
         F.col("doc_id"),
-        F.transform(words, lambda w: hash60(w)).alias("hs"),
-        F.size(words).alias("n_tokens"),
+        F.explode_outer(F.transform(words, lambda w: hash60(w))).alias("h"),
     )
-    def _bit_test(j: int):
-        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
-
+    h = F.col("h")
+    agg = hashed.groupBy("doc_id").agg(
+        F.count(h).alias("_n"),
+        F.count(F.lit(1)).alias("_rows"),
+        *[F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"_c{j}")
+          for j in range(SIMHASH_BITS)],
+    )
+    # n_tokens parity with F.size(words): null text -> words null ->
+    # one null-h row from explode_outer; size(null) = -1
+    n_tokens = F.when(F.col("_n") == F.col("_rows"), F.col("_rows")) \
+                .otherwise(F.lit(-1)).cast("int")
     bit_terms = []
     for j in range(SIMHASH_BITS):
-        ones = F.size(F.filter("hs", _bit_test(j)))
-        bit = F.when(ones * 2 > F.col("n_tokens"), F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(F.col(f"_c{j}") * 2 > n_tokens,
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bit_terms.append(F.shiftleft(bit, j))
     fingerprint = bit_terms[0]
     for t in bit_terms[1:]:
         fingerprint = fingerprint.bitwiseOR(t)
-    return hashed.select("doc_id", fingerprint.alias("simhash"), "n_tokens")
+    return agg.select("doc_id", fingerprint.alias("simhash"),
+                      n_tokens.alias("n_tokens"))
 
 
 def simhash_near_dups(documents: DataFrame,
