@@ -113,3 +113,43 @@ def test_tokens_table_contract(spark):
         raw = src.loc[(row.conv_id, row.turn_idx)]
         payload = raw["text"] if isinstance(raw["text"], str) and raw["text"] else (raw["tool"] or "")
         assert payload[row.start:row.end] == row.text
+
+
+def test_tokens_table_matches_tokenize_turn_exactly(spark):
+    """Pin the r6 vectorized tokens_table against the per-token loop
+    over tokenize_turn, including non-ASCII payloads (char-offset line
+    mapping) and empty/None turns."""
+    import pandas as pd
+
+    from universal_pdf_extractor_spark.kernels.layout import (
+        TOOL_TOKEN_CONFIDENCE,
+        tokenize_turn,
+    )
+    from universal_pdf_extractor_spark.stages.tokenize import tokens_table
+
+    rows = [
+        ("c1", 0, "plain line\n  indented  seconde ligne", None),
+        ("c1", 1, None, "tool payload\nwith two lines"),
+        ("c1", 2, "", None),
+        ("c2", 0, "café naïve über\ntoken après unicode", None),
+        ("c2", 1, "\n\nblank\n\nlines\n", None),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "tool"])
+    got = tokens_table(spark.createDataFrame(pdf)) \
+        .toPandas().sort_values(["conv_id", "turn_idx", "token_index"]) \
+        .reset_index(drop=True)
+
+    exp_rows = []
+    for conv_id, turn_idx, text, tool in rows:
+        payload = text if text else (tool if tool else "")
+        via_tool = (not text) and bool(tool)
+        tokens, _ = tokenize_turn(payload)
+        for i, t in enumerate(tokens):
+            conf = TOOL_TOKEN_CONFIDENCE if via_tool else t["confidence"]
+            exp_rows.append((conv_id, turn_idx, i, t["text"],
+                             t["x0"], t["y0"], t["x1"], t["y1"],
+                             conf, t["start"], t["end"]))
+    exp = pd.DataFrame(exp_rows, columns=list(got.columns))
+    assert len(got) == len(exp)
+    for col in got.columns:
+        assert list(got[col]) == list(exp[col]), col

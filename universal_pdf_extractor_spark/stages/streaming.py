@@ -113,6 +113,7 @@ def stream_segment_assignment(spark: SparkSession, input_path: str,
     conversation, or any strong signal group matching in the top band
     (score >= 0.8 <=> >= one 1.0 group).
     """
+    from ..kernels.layout import TOP_REGION_LINES
     from ..kernels.patterns import (
         ACCOUNT_HEADER_RLIKE,
         OPENING_BALANCE_RLIKE,
@@ -123,9 +124,25 @@ def stream_segment_assignment(spark: SparkSession, input_path: str,
     stream = (spark.readStream.schema(TRANSCRIPTS_SCHEMA)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(input_path))
-    turns = tokenize_stage(stream).select(
+    # native top-band probe: only the boolean strong-signal matters
+    # here, so skip the full Arrow view UDF (raw/clean text, spans)
+    # and build top_text with column expressions — the same
+    # construction as layout.turn_view: whitespace-normalized
+    # non-empty lines among the first TOP_REGION_LINES original
+    # lines, ' '-joined, lowered (the transcripts oracle SQL derives
+    # top_text identically; equality with the UDF path is pinned by
+    # tests/test_streaming.py)
+    text_ok = F.col("text").isNotNull() & (F.col("text") != "")
+    tool_ok = F.col("tool").isNotNull() & (F.col("tool") != "")
+    payload = F.when(text_ok, F.col("text")) \
+               .when(tool_ok, F.col("tool")).otherwise(F.lit(""))
+    top_text = F.lower(F.array_join(F.filter(
+        F.transform(F.slice(F.split(payload, "\n"), 1, TOP_REGION_LINES),
+                    lambda l: F.trim(F.regexp_replace(l, r"\s+", " "))),
+        lambda l: l != ""), " "))
+    turns = stream.select(
         "conv_id", "turn_idx",
-        F.col("top_text").rlike(strong).alias("strong_signal"))
+        top_text.rlike(strong).alias("strong_signal"))
     return turns.groupBy("conv_id").applyInPandasWithState(
         _assign_segments_stateful,
         outputStructType=SEG_OUT_SCHEMA,

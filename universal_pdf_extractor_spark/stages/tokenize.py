@@ -56,12 +56,24 @@ def tokens_table(transcripts: DataFrame) -> DataFrame:
     char offsets into the original turn text — the NormalizedPage
     token list as an exploded columnar table.  Not on the hot path;
     used for layout debugging and external token consumers.
+
+    Vectorized per turn instead of per token: ONE finditer over the
+    whole payload (\\S+ never crosses a newline), line indices by
+    searchsorted over newline positions, and x/y looked up from the
+    same Python-rounded memo tables tokenize_turn uses — so every
+    emitted value is identical to the per-token loop (pinned by the
+    transcripts_token_ir oracle hash over 1.5M rows).
     """
+    import numpy as np
     import pandas as pd  # noqa: F811
 
-    from pyspark.sql.types import DoubleType
-
-    from ..kernels.layout import tokenize_turn
+    from ..kernels.layout import (
+        TOKEN_CONFIDENCE,
+        _TOKEN_RE,
+        _page_width,
+        _x_table,
+        _y_tables,
+    )
     from ..schemas import TOKEN_TYPE
 
     out_schema = StructType([
@@ -69,6 +81,7 @@ def tokens_table(transcripts: DataFrame) -> DataFrame:
         StructField("turn_idx", IntegerType(), False),
         StructField("token_index", IntegerType(), False),
     ] + list(TOKEN_TYPE.fields))
+    out_cols = [f.name for f in out_schema.fields]
 
     def run(batches):
         for pdf in batches:
@@ -76,16 +89,50 @@ def tokens_table(transcripts: DataFrame) -> DataFrame:
             tool_ok = pdf["tool"].notna() & (pdf["tool"] != "")
             payload = pdf["text"].where(text_ok, pdf["tool"].where(tool_ok, ""))
             is_tool = (~text_ok) & tool_ok
-            rows = []
+            frames = []
             for conv_id, turn_idx, text, via_tool in zip(
                     pdf["conv_id"], pdf["turn_idx"], payload, is_tool):
-                tokens, _ = tokenize_turn(text)
-                for i, t in enumerate(tokens):
-                    conf = TOOL_TOKEN_CONFIDENCE if via_tool else t["confidence"]
-                    rows.append((conv_id, int(turn_idx), i, t["text"],
-                                 t["x0"], t["y0"], t["x1"], t["y1"],
-                                 conf, t["start"], t["end"]))
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+                if not text:
+                    continue
+                spans = [m.span() for m in _TOKEN_RE.finditer(text)]
+                if not spans:
+                    continue
+                starts = np.fromiter((s for s, _ in spans), np.int64,
+                                     count=len(spans))
+                ends = np.fromiter((e for _, e in spans), np.int64,
+                                   count=len(spans))
+                raw_lines = text.split("\n")
+                # char offset of each original line -> 0-based line per
+                # token (CHAR offsets, matching the regex spans — byte
+                # offsets would diverge on non-ASCII payloads)
+                lens = np.fromiter((len(l) for l in raw_lines), np.int64,
+                                   count=len(raw_lines))
+                starts_per_line = np.concatenate(
+                    ([0], np.cumsum(lens + 1)[:-1]))
+                line_idx = np.searchsorted(starts_per_line, starts,
+                                           side="right") - 1
+                line_start = starts_per_line[line_idx]
+                width = _page_width(raw_lines)
+                xs = np.asarray(_x_table(width, int((ends - line_start).max())))
+                y0s, y1s = _y_tables(len(raw_lines) - 1)
+                conf = TOOL_TOKEN_CONFIDENCE if via_tool else TOKEN_CONFIDENCE
+                frames.append(pd.DataFrame({
+                    "conv_id": conv_id,
+                    "turn_idx": int(turn_idx),
+                    "token_index": np.arange(len(spans), dtype=np.int64),
+                    "text": [text[s:e] for s, e in spans],
+                    "x0": xs[starts - line_start],
+                    "y0": np.asarray(y0s)[line_idx],
+                    "x1": xs[ends - line_start],
+                    "y1": np.asarray(y1s)[line_idx],
+                    "confidence": conf,
+                    "start": starts,
+                    "end": ends,
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield pd.DataFrame({c: [] for c in out_cols})
 
     return transcripts.select("conv_id", "turn_idx", "text", "tool") \
                       .mapInPandas(run, schema=out_schema)
