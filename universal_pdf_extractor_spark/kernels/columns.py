@@ -124,7 +124,8 @@ def make_column_assigner(columns: list[dict]):
     return assign
 
 
-def assign_line_to_cells(line: dict, columns: list[dict], assigner=None) -> list[dict]:
+def assign_line_to_cells(line: dict, columns: list[dict], assigner=None,
+                         cache: dict | None = None) -> list[dict]:
     """Group a line's tokens into per-column cells.
 
     Cell: {text, column_index, turn_idx, start, end} — start/end are
@@ -134,14 +135,27 @@ def assign_line_to_cells(line: dict, columns: list[dict], assigner=None) -> list
     stores the provenance span instead).  The reference's cell
     envelope bbox + mean confidence (table_extractor.py:205-211) stay
     omitted: nothing downstream reads them.
+
+    ``cache`` is the (x0, x1) -> (column, contained) memo dict of
+    make_column_assigner, inlined here to skip a Python call per token
+    on the hot path; ``assigner`` remains supported for callers that
+    hold the closure.
     """
-    if assigner is None:
+    if cache is None and assigner is None:
         assigner = lambda t: _assign_with_containment(t, columns)  # noqa: E731
     cell_tokens: dict[int, list[dict]] = {}
     prev_tok = None
     prev_col = None
+    cache_get = cache.get if cache is not None else None
     for token in line["tokens"]:
-        col, contained = assigner(token)
+        if cache_get is not None:
+            key = (token["x0"], token["x1"])
+            hit = cache_get(key)
+            if hit is None:
+                hit = cache[key] = _assign_with_containment(token, columns)
+            col, contained = hit
+        else:
+            col, contained = assigner(token)
         # word-adjacency tie-break on the fallback path only: a token
         # whose center lies in NO column but that sits a single space
         # after its neighbour belongs to the neighbour's visual word

@@ -36,13 +36,12 @@ def _is_continuation(prev_line: dict, curr_line: dict) -> bool:
 
 
 def precompute_cells(lines: list[dict], columns: list[dict]) -> list[list[dict]]:
-    """Cell assignment for every line, via one memoized column assigner.
+    """Cell assignment for every line, via one memoized column lookup.
 
     The assignment depends only on (line tokens, columns), so the
     preliminary and final row passes share this result."""
-    from .columns import make_column_assigner
-    assigner = make_column_assigner(columns)
-    return [assign_line_to_cells(ln, columns, assigner) for ln in lines]
+    cache: dict = {}
+    return [assign_line_to_cells(ln, columns, cache=cache) for ln in lines]
 
 
 def reconstruct_rows(lines: list[dict],
@@ -144,6 +143,14 @@ def extract_header_texts(line: dict, columns: list[dict]) -> list[str]:
     return header
 
 
+# evidence-emitting roles and their span field names (hoisted: the
+# per-cell dict literal and tuple were rebuilt on every call)
+_EVIDENCE_ROLES = frozenset(
+    ("DATE", "DESCRIPTION", "DEBIT", "CREDIT", "SINGLE_AMOUNT", "BALANCE"))
+_EVIDENCE_FIELD = {r: ("amount" if r == "SINGLE_AMOUNT" else r.lower())
+                   for r in _EVIDENCE_ROLES}
+
+
 def extract_fields_from_row(row: dict, roles: dict[int, str], today=DEFAULT_TODAY) -> dict:
     """Project a reconstructed row into typed fields by column role.
 
@@ -186,9 +193,8 @@ def extract_fields_from_row(row: dict, roles: dict[int, str], today=DEFAULT_TODA
     for cell in unique_cells:
         role = roles.get(cell["column_index"], "UNKNOWN")
         text = cell["text"].strip()
-        if text and role in ("DATE", "DESCRIPTION", "DEBIT", "CREDIT",
-                             "SINGLE_AMOUNT", "BALANCE"):
-            _evidence({"SINGLE_AMOUNT": "amount"}.get(role, role.lower()), cell)
+        if text and role in _EVIDENCE_ROLES:
+            _evidence(_EVIDENCE_FIELD[role], cell)
 
         if role == "DATE":
             result["raw_date"] = text
