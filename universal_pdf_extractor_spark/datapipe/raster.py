@@ -407,11 +407,24 @@ def bilateral(gray: np.ndarray, d: int = 9, sigma_color: float = 75.0,
     h, w = img.shape
     num = np.zeros((h, w))
     den = np.zeros((h, w))
+    # range-weight LUT: pixel differences are integer-valued (uint8
+    # source), so exp's input domain is exactly the 256 values
+    # -(k*k)/(2*sigma_color^2), k = 0..255 — evaluating np.exp over
+    # that domain once and indexing replaces an exp per pixel per
+    # window offset with a table take.  Bit-identical by exhaustive
+    # domain check (tests/test_raster.py pins all 256 values and the
+    # lut*sw fold against the per-pixel expression).
+    ks = np.arange(256, dtype=np.float64)
+    lut = np.exp(-(ks ** 2) / (2 * sigma_color ** 2))
+    # integer |diff| index in int16 arithmetic (exact: uint8 domain)
+    img_i = gray.astype(np.int16)
+    pad_i = np.pad(img_i, r, mode="edge")
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
             sw = math.exp(-(dx * dx + dy * dy) / (2 * sigma_space ** 2))
             nb = pad[r + dy:r + dy + h, r + dx:r + dx + w]
-            rw = np.exp(-((nb - img) ** 2) / (2 * sigma_color ** 2)) * sw
+            idx = np.abs(pad_i[r + dy:r + dy + h, r + dx:r + dx + w] - img_i)
+            rw = (lut * sw)[idx]
             num += rw * nb
             den += rw
     return np.clip(np.rint(num / den), 0, 255).astype(np.uint8)
