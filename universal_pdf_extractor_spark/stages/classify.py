@@ -106,9 +106,15 @@ CLASSIFY_CHAR_CAP = 2_000_000
 
 
 def conversation_text(turns: DataFrame,
-                      char_cap: int = CLASSIFY_CHAR_CAP) -> DataFrame:
+                      char_cap: int = CLASSIFY_CHAR_CAP,
+                      extra_aggs: tuple = ()) -> DataFrame:
     """conv_id -> combined '\\n'-joined non-empty raw_texts in order
-    (prefix-capped at ``char_cap`` cumulative characters)."""
+    (prefix-capped at ``char_cap`` cumulative characters).
+
+    ``extra_aggs``: additional aggregate expressions computed in the
+    SAME groupBy — callers that need other per-conversation aggregates
+    (e.g. the pipeline's n_segments) fold them into this pass instead
+    of paying a second full aggregation over the turns frame."""
     from pyspark.sql import Window
     w = (Window.partitionBy("conv_id").orderBy("turn_idx")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -129,14 +135,18 @@ def conversation_text(turns: DataFrame,
                         lambda x: x["raw_text"]),
             lambda t: t != ""), "\n").alias("conv_text"),
         F.count(F.lit(1)).cast("int").alias("n_turns"),
+        *extra_aggs,
     )
 
 
-def classify_stage(turns: DataFrame) -> DataFrame:
-    """turns -> one row per conversation with family/provider/customer."""
+def classify_stage(turns: DataFrame, extra_aggs: tuple = (),
+                   extra_cols: tuple = ()) -> DataFrame:
+    """turns -> one row per conversation with family/provider/customer
+    (+ any ``extra_aggs`` passed through as ``extra_cols``)."""
     # materialize the lowered text once: ~70 rlike probes reference it,
     # and Catalyst does not CSE lower() across all of them
-    conv = conversation_text(turns).withColumn("_lowered", F.lower(F.col("conv_text")))
+    conv = conversation_text(turns, extra_aggs=extra_aggs) \
+        .withColumn("_lowered", F.lower(F.col("conv_text")))
     lowered = F.col("_lowered")
 
     mf = _keyword_score(lowered, MOTOR_FINANCE_KEYWORDS, MOTOR_FINANCE_WEIGHT)
@@ -190,4 +200,5 @@ def classify_stage(turns: DataFrame) -> DataFrame:
         F.col("_cust.account_holder_name").alias("account_holder_name"),
         F.col("_cust.account_holder_address").alias("account_holder_address"),
         F.col("_cust.account_holder_postcode").alias("account_holder_postcode"),
+        *extra_cols,
     )

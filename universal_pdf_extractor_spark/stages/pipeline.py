@@ -90,11 +90,15 @@ def run_pipeline(transcripts: DataFrame, persist: bool = False,
                                  "segment_closing_distinct")
     segments = segments_table(turns_seg, records_stage)
 
-    conv_meta = classify_stage(turns_seg)
-    n_segments = turns_seg.groupBy("conv_id").agg(
-        (F.max("segment_index") + 1).cast("int").alias("n_segments"))
-    conversations = conversations_table(conv_meta, records_stage).join(
-        n_segments, "conv_id", "left")
+    # n_segments folds into classify's per-conversation aggregation:
+    # one pass over the cached turns frame instead of two plus a join
+    # (same groupBy keys, identical values)
+    conv_meta = classify_stage(
+        turns_seg,
+        extra_aggs=((F.max("segment_index") + 1).cast("int")
+                    .alias("n_segments"),),
+        extra_cols=("n_segments",))
+    conversations = conversations_table(conv_meta, records_stage)
 
     # spans ride internally as parallel int arrays; zip them into the
     # contract's (field, start, end) structs natively at output time

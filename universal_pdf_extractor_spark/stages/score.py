@@ -148,6 +148,7 @@ def conversations_table(conv_meta: DataFrame, records: DataFrame) -> DataFrame:
         F.when(F.col("validation_status").isin("PASS", "PASS_WITH_WARNINGS"),
                "COMPLETED").otherwise("NEEDS_REVIEW"),
     )
+    passthrough = [c for c in ("n_segments",) if c in conv_meta.columns]
     return df.select(
         "conv_id", "doc_family", "doc_family_confidence",
         "provider", "provider_confidence", "currency",
@@ -155,6 +156,7 @@ def conversations_table(conv_meta: DataFrame, records: DataFrame) -> DataFrame:
         "document_confidence", "reconciliation_rate",
         "validation_status", "final_status",
         "hard_gate_failures", "warnings", "row_count",
+        *passthrough,
     )
 
 
