@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
-from ..parallel import spread
+from ..parallel import barrier, spread
 
 MERSENNE_PRIME = (1 << 31) - 1  # 31-bit field: a*h+b stays far below int64 under ANSI mode
 
@@ -124,7 +124,8 @@ def ngram_jaccard_pairs(documents: DataFrame,
     ).select(
         F.col("doc_id"),
         word_shingles(F.col("text"), n).alias("shingles"),
-    ).withColumn("n_shingles", F.size("shingles")).repartition("doc_id")
+    ).withColumn("n_shingles", F.size("shingles"))
+    docs = barrier(docs, "doc_id")
 
     # candidate phase runs on 64-bit shingle hashes, not strings: the
     # df-count/rank/self-join shuffles move 8-byte longs instead of
@@ -324,7 +325,7 @@ def minhash_lsh_pairs(documents: DataFrame,
     # (CollapseProject), and (b) the self-join's two sides share ONE
     # signature computation via ReusedExchange instead of scanning +
     # hashing the corpus twice
-    sigs = sigs.repartition("doc_id")
+    sigs = barrier(sigs, "doc_id")
 
     # band bucket key: minhash values pair-packed into BIGINTs
     # (v0 * 2^31 + v1 is exact — values are < 2^31-1), an
@@ -430,8 +431,8 @@ def simhash_near_dups(documents: DataFrame,
     # barrier after the fingerprint fold: the self-join's two sides and
     # the 4-way block explode all reuse ONE fingerprint computation via
     # ReusedExchange instead of re-deriving the 60 per-bit counts
-    fps = simhash_fingerprints(documents, id_col, text_col) \
-        .repartition("doc_id")
+    fps = barrier(simhash_fingerprints(documents, id_col, text_col),
+                  "doc_id")
     blocked = fps.select(
         "doc_id", "simhash",
         F.explode(F.array(*[

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
-from ..parallel import spread
+from ..parallel import barrier, spread
 
 
 def _slim(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -174,7 +174,8 @@ def repetition_scores(documents: DataFrame, id_col: str = "doc_id",
         .alias("dup_line_frac"),
         (dup_chars / F.greatest(line_chars.cast("double"), F.lit(1.0)))
         .alias("dup_line_char_frac"),
-    ).repartition("doc_id")
+    )
+    base = barrier(base, "doc_id")
 
     def grams(k: int):
         n = F.size(F.col("toks"))

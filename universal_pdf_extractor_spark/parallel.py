@@ -20,6 +20,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def barrier(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Materialization barrier with a parallelism floor: an explicit
+    hash repartition on ``key_cols`` sized to the session's default
+    parallelism.  Used where a subtree feeds several plan branches
+    (ReusedExchange) — a plain ``repartition(cols)`` barrier would be
+    AQE-coalesced BY BYTES down to one post-shuffle partition on
+    small-byte/high-CPU intermediates, serializing every operator
+    between the barrier and the next exchange (windows, explodes,
+    partial aggregations).  The explicit count keeps those stages on
+    all cores; it scales with the session (cores), not a constant."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, *key_cols)
+
+
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     """Repartition ``df`` up to the session's default parallelism iff
     its planned partition count is below it; otherwise return it
