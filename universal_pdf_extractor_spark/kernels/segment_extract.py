@@ -677,7 +677,8 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
                     header={"line_index": info.get("header_line")},
                     column_mapping=info.get("column_mapping"))}
 
-    n_delim = sum(1 for ln in lines if _DELIM_RE.search(ln["text"]))
+    delim_flags = [_DELIM_RE.search(ln["text"]) is not None for ln in lines]
+    n_delim = sum(delim_flags)
     if n_delim * 2 > len(lines):
         records, info = _fallback_delim_records(all_lines, today)
         if records:
@@ -689,8 +690,8 @@ def analyse_segment(lines: list[dict], today: date = DEFAULT_TODAY) -> dict:
     # reproducible-routing rationale as the delimiter rule above.  The
     # header gate keeps chatter-dominant segments falling through.
     n_single = sum(
-        1 for ln in lines
-        if not _DELIM_RE.search(ln["text"]) and not _has_internal_gap(ln))
+        1 for ln, has_delim in zip(lines, delim_flags)
+        if not has_delim and not _has_internal_gap(ln))
     if n_single * 2 > len(lines):
         records, info = _fallback_pattern_records(all_lines, today)
         if records:
