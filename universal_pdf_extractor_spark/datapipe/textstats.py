@@ -146,7 +146,16 @@ def repetition_scores(documents: DataFrame, id_col: str = "doc_id",
     from .dedup import hash60
 
     t = F.col(text_col)
-    lines = _norm_lines(t)
+    # stage the normalized-lines array in its own projection: the
+    # stats below reference it five times (size, char fold, and a
+    # nested duplicate filter), and inlining the split+normalize chain
+    # per reference multiplies the projection cost; CollapseProject
+    # keeps the staging projection because the alias is multi-referenced
+    staged = _slim(documents, id_col, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        _norm_lines(t).alias("_lines"),
+        tokens_col(F.lower(t)).alias("_toks"))
+    lines = F.col("_lines")
     n_lines = F.size(lines)
     line_chars = F.aggregate(lines, F.lit(0).cast("long"),
                              lambda a, x: a + F.length(x))
@@ -160,9 +169,9 @@ def repetition_scores(documents: DataFrame, id_col: str = "doc_id",
     # reuse one computation of the line/token arrays instead of each
     # re-deriving them from the scan (and distributes that computation
     # when the scan is a single small file)
-    base = _slim(documents, id_col, text_col).select(
-        F.col(id_col).alias("doc_id"),
-        tokens_col(F.lower(t)).alias("toks"),
+    base = staged.select(
+        F.col("doc_id"),
+        F.col("_toks").alias("toks"),
         n_lines.cast("long").alias("n_lines"),
         # raw IEEE fractions (identical int->double division on any
         # engine); consumers needing stable stringification floor to
